@@ -1,0 +1,298 @@
+"""Vectorized H3 index bit manipulation over uint64 NumPy arrays.
+
+Index layout (public H3 spec): bit 63 reserved(0); bits 59-62 mode
+(1=cell, 2=directed edge, 4=vertex); bits 56-58 mode-dependent (edge
+direction / vertex number); bits 52-55 resolution; bits 45-51 base cell;
+bits 0-44 fifteen 3-bit digits, digit for resolution r at bit offset
+(15-r)*3, unused digits set to 7.
+
+Mirrors the semantics of the reference's index accessors and validity
+checks (h3ronpy/src/op/valid.rs:13-49, crates/h3arrow/src/array/cell.rs)
+without any per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import BASE_CELL_IS_PENTAGON, MAX_H3_RES, NUM_BASE_CELLS
+from .ijk import INVALID_DIGIT, K_AXES_DIGIT, ROTATE60_CCW_DIGIT, ROTATE60_CW_DIGIT
+
+H3_NULL = np.uint64(0)
+MODE_CELL = 1
+MODE_DIRECTEDEDGE = 2
+MODE_VERTEX = 4
+
+_U = np.uint64
+
+
+def _u64(arr) -> np.ndarray:
+    return np.asarray(arr, dtype=np.uint64)
+
+
+def get_mode(h: np.ndarray) -> np.ndarray:
+    return (_u64(h) >> _U(59)) & _U(0xF)
+
+
+def get_high_bit(h: np.ndarray) -> np.ndarray:
+    return _u64(h) >> _U(63)
+
+
+def get_reserved(h: np.ndarray) -> np.ndarray:
+    """Mode-dependent bits 56-58 (0 for cells; direction/vertex otherwise)."""
+    return (_u64(h) >> _U(56)) & _U(0x7)
+
+
+def get_resolution(h: np.ndarray) -> np.ndarray:
+    return ((_u64(h) >> _U(52)) & _U(0xF)).astype(np.uint8)
+
+
+def get_base_cell(h: np.ndarray) -> np.ndarray:
+    return ((_u64(h) >> _U(45)) & _U(0x7F)).astype(np.int64)
+
+
+def set_resolution(h: np.ndarray, res) -> np.ndarray:
+    h = _u64(h)
+    res = _u64(np.asarray(res, dtype=np.uint64))
+    return (h & ~(_U(0xF) << _U(52))) | (res << _U(52))
+
+
+def set_base_cell(h: np.ndarray, bc) -> np.ndarray:
+    h = _u64(h)
+    bc = _u64(np.asarray(bc, dtype=np.uint64))
+    return (h & ~(_U(0x7F) << _U(45))) | (bc << _U(45))
+
+
+def get_index_digit(h: np.ndarray, r) -> np.ndarray:
+    """Digit for resolution r (1-based); r may be scalar or per-row array."""
+    off = (_U(MAX_H3_RES) - _u64(np.asarray(r, dtype=np.uint64))) * _U(3)
+    return ((_u64(h) >> off) & _U(0x7)).astype(np.uint8)
+
+
+def set_index_digit(h: np.ndarray, r, digit) -> np.ndarray:
+    off = (_U(MAX_H3_RES) - _u64(np.asarray(r, dtype=np.uint64))) * _U(3)
+    d = _u64(np.asarray(digit, dtype=np.uint64))
+    return (_u64(h) & ~(_U(0x7) << off)) | (d << off)
+
+
+def init_cell(res: int, n: int) -> np.ndarray:
+    """H3_INIT-equivalent: mode=cell, given res, all digits 7."""
+    base = (_U(MODE_CELL) << _U(59)) | _U(0x1FFFFFFFFFFFF & ((1 << 45) - 1))
+    h = np.full(n, base, dtype=np.uint64)
+    return set_resolution(h, np.full(n, res, dtype=np.uint64))
+
+
+def leading_nonzero_digit(h: np.ndarray) -> np.ndarray:
+    """First nonzero digit (1..res); 0 if all digits are zero (CENTER)."""
+    h = _u64(h)
+    res = get_resolution(h).astype(np.int64)
+    out = np.zeros(h.shape, dtype=np.uint8)
+    found = np.zeros(h.shape, dtype=bool)
+    for r in range(1, MAX_H3_RES + 1):
+        active = (~found) & (r <= res)
+        if not active.any():
+            continue
+        d = get_index_digit(h, r)
+        hit = active & (d != 0)
+        out[hit] = d[hit]
+        found |= hit
+    return out
+
+
+def _rotate_digits(h: np.ndarray, table: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
+    """Apply a digit-mapping table to digits 1..res of each index."""
+    h = _u64(h).copy()
+    res = get_resolution(h).astype(np.int64)
+    for r in range(1, MAX_H3_RES + 1):
+        active = r <= res
+        if mask is not None:
+            active &= mask
+        if not active.any():
+            continue
+        d = get_index_digit(h, r)
+        nh = set_index_digit(h, r, table[d])
+        h = np.where(active, nh, h)
+    return h
+
+
+def rotate60_ccw(h: np.ndarray) -> np.ndarray:
+    return _rotate_digits(h, ROTATE60_CCW_DIGIT)
+
+
+def rotate60_cw(h: np.ndarray) -> np.ndarray:
+    return _rotate_digits(h, ROTATE60_CW_DIGIT)
+
+
+def rotate_pent60_ccw(h: np.ndarray) -> np.ndarray:
+    """Pentagonal ccw rotation: rotate digits, skipping the deleted K axis.
+
+    Port of the published algorithm: digits are rotated in order; when the
+    first nonzero digit lands on K, the whole index is rotated a further
+    60 degrees ccw.
+    """
+    h = _u64(h).copy()
+    res = get_resolution(h).astype(np.int64)
+    found = np.zeros(h.shape, dtype=bool)
+    for r in range(1, MAX_H3_RES + 1):
+        active = r <= res
+        if not active.any():
+            continue
+        d = get_index_digit(h, r)
+        h = np.where(active, set_index_digit(h, r, ROTATE60_CCW_DIGIT[d]), h)
+        d2 = get_index_digit(h, r)
+        first = active & (~found) & (d2 != 0)
+        if first.any():
+            found |= first
+            fix = first & (d2 == K_AXES_DIGIT)
+            if fix.any():
+                h = np.where(fix, _rotate_digits(h, ROTATE60_CCW_DIGIT, fix), h)
+    return h
+
+
+def is_pentagon(h: np.ndarray) -> np.ndarray:
+    h = _u64(h)
+    bc = get_base_cell(h)
+    ok = bc < NUM_BASE_CELLS
+    pent = np.zeros(h.shape, dtype=bool)
+    pent[ok] = BASE_CELL_IS_PENTAGON[bc[ok]]
+    return pent & (leading_nonzero_digit(h) == 0)
+
+
+def is_valid_cell(h: np.ndarray) -> np.ndarray:
+    """Full validity check for cell indexes (mode, base cell, digits)."""
+    h = _u64(h)
+    res = get_resolution(h).astype(np.int64)
+    bc = get_base_cell(h)
+    valid = (
+        (get_high_bit(h) == 0)
+        & (get_mode(h) == MODE_CELL)
+        & (get_reserved(h) == 0)
+        & (bc < NUM_BASE_CELLS)
+    )
+    # digits 1..res must be < 7; digits res+1..15 must be == 7
+    first_k = np.zeros(h.shape, dtype=np.uint8)  # leading nonzero digit
+    for r in range(1, MAX_H3_RES + 1):
+        d = get_index_digit(h, r)
+        in_range = r <= res
+        valid &= np.where(in_range, d != INVALID_DIGIT, d == INVALID_DIGIT)
+        upd = in_range & (first_k == 0) & (d != 0)
+        first_k = np.where(upd, d, first_k)
+    # pentagon base cells may not contain a leading K digit
+    bc_safe = np.clip(bc, 0, NUM_BASE_CELLS - 1)
+    pent_base = BASE_CELL_IS_PENTAGON[bc_safe] & (bc < NUM_BASE_CELLS)
+    valid &= ~(pent_base & (first_k == K_AXES_DIGIT))
+    return valid
+
+
+def is_valid_directededge(h: np.ndarray) -> np.ndarray:
+    h = _u64(h)
+    direction = get_reserved(h)
+    cell = (h & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (_U(MODE_CELL) << _U(59))
+    ok = (
+        (get_high_bit(h) == 0)
+        & (get_mode(h) == MODE_DIRECTEDEDGE)
+        & (direction >= 1)
+        & (direction <= 6)
+        & is_valid_cell(cell)
+    )
+    # pentagons have no edge in the deleted K direction
+    ok &= ~(is_pentagon(cell) & (direction == K_AXES_DIGIT))
+    return ok
+
+
+def is_valid_vertex(h: np.ndarray) -> np.ndarray:
+    h = _u64(h)
+    vertex_num = get_reserved(h)
+    cell = (h & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (_U(MODE_CELL) << _U(59))
+    ok = (
+        (get_high_bit(h) == 0)
+        & (get_mode(h) == MODE_VERTEX)
+        & (vertex_num <= 5)
+        & is_valid_cell(cell)
+    )
+    ok &= ~(is_pentagon(cell) & (vertex_num == 5))
+    return ok
+
+
+# --- hierarchy bit ops ------------------------------------------------------
+
+
+def cell_to_parent(h: np.ndarray, parent_res) -> np.ndarray:
+    """Parent (ancestor) at coarser resolution; caller checks res ordering."""
+    h = _u64(h)
+    pr = np.asarray(parent_res, dtype=np.uint64)
+    pr_b = np.broadcast_to(pr, h.shape).astype(np.uint64)
+    out = set_resolution(h, pr_b)
+    # set digits below parent_res to 7
+    n_unused = (_U(MAX_H3_RES) - pr_b) * _U(3)
+    fill = (_U(1) << n_unused) - _U(1)
+    return out | fill
+
+
+def cell_to_center_child(h: np.ndarray, child_res) -> np.ndarray:
+    h = _u64(h)
+    res = get_resolution(h).astype(np.uint64)
+    cr = np.broadcast_to(np.asarray(child_res, dtype=np.uint64), h.shape).astype(np.uint64)
+    out = set_resolution(h, cr)
+    # zero digits res+1..child_res
+    hi = (_U(MAX_H3_RES) - res) * _U(3)
+    lo = (_U(MAX_H3_RES) - cr) * _U(3)
+    clear = ((_U(1) << hi) - _U(1)) ^ ((_U(1) << lo) - _U(1))
+    return out & ~clear
+
+
+def children_count(h: np.ndarray, child_res) -> np.ndarray:
+    """Number of children at child_res (pentagon-adjusted)."""
+    h = _u64(h)
+    res = get_resolution(h).astype(np.int64)
+    cr = np.broadcast_to(np.asarray(child_res, dtype=np.int64), h.shape)
+    n = (cr - res).astype(np.int64)
+    hexcount = 7 ** np.maximum(n, 0)
+    pent = is_pentagon(h)
+    # pentagon: 1 + 5 * (7^n - 1) / 6
+    pentcount = 1 + 5 * (hexcount - 1) // 6
+    return np.where(pent, pentcount, hexcount)
+
+
+# --- string conversion ------------------------------------------------------
+
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def to_hex_strings(h: np.ndarray) -> np.ndarray:
+    """uint64 -> lowercase hex strings without leading zeros (H3 format)."""
+    h = _u64(h)
+    n = h.shape[0]
+    # 16 nibbles, most significant first
+    nibbles = np.empty((n, 16), dtype=np.uint8)
+    for k in range(16):
+        nibbles[:, k] = ((h >> _U(4 * (15 - k))) & _U(0xF)).astype(np.uint8)
+    chars = _HEX_DIGITS[nibbles]
+    # leading zero count per row
+    nz = nibbles != 0
+    first = np.where(nz.any(axis=1), nz.argmax(axis=1), 15)
+    return np.array(
+        ["".join(map(chr, chars[i, first[i]:])) for i in range(n)], dtype=object
+    )
+
+
+def parse_hex_strings(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Hex (or decimal) strings -> uint64; returns (values, ok_mask)."""
+    out = np.zeros(len(strings), dtype=np.uint64)
+    ok = np.zeros(len(strings), dtype=bool)
+    for idx, s in enumerate(strings):
+        if s is None:
+            continue
+        s = s.strip()
+        try:
+            out[idx] = np.uint64(int(s, 16))
+            ok[idx] = True
+            continue
+        except (ValueError, OverflowError):
+            pass
+        try:
+            out[idx] = np.uint64(int(s, 10))
+            ok[idx] = True
+        except (ValueError, OverflowError):
+            pass
+    return out, ok

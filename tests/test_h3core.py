@@ -1,0 +1,100 @@
+"""Core H3 codec tests: goldens from the reference's public test suite plus
+exhaustive structural roundtrips.
+
+Golden values mirror the reference's expectations
+(h3ronpy/tests/arrow/test_utf8.py:73, test_coordinates.py:25-42,
+test_resolution.py, test_compact.py) which were produced with Uber's h3
+library; here they are hard-coded since h3 is not installed.
+"""
+
+import numpy as np
+import pytest
+
+from h3ray.h3core import bits, faceijk
+
+GOLDEN_CELL_45_10_RES5 = np.uint64(0x851F9923FFFFFFF)
+GOLDEN_CELL_SF_RES9 = np.uint64(0x8928308280FFFFF)
+
+
+def all_cells_at_res(res: int) -> np.ndarray:
+    cur = bits.set_base_cell(bits.init_cell(0, 122), np.arange(122, dtype=np.uint64))
+    for r in range(1, res + 1):
+        out = []
+        pent = bits.is_pentagon(cur)
+        for d in range(7):
+            ch = bits.set_resolution(cur, np.full(len(cur), r, dtype=np.uint64))
+            ch = bits.set_index_digit(ch, r, np.full(len(cur), d, dtype=np.uint64))
+            out.append(ch[~(pent & (d == 1))])
+        cur = np.concatenate(out)
+    return cur
+
+
+def test_latlng_to_cell_goldens():
+    cells = faceijk.latlng_to_cell(
+        np.array([45.5, 37.7752702151959]),
+        np.array([10.2, -122.418307270836]),
+        np.array([5, 9]),
+    )
+    assert cells[0] == GOLDEN_CELL_45_10_RES5
+    assert cells[1] == GOLDEN_CELL_SF_RES9
+
+
+def test_cell_to_latlng_within_cell():
+    # reference: test_coordinates.py:12-22 (lat/lng in expected 1-degree box)
+    cells = faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 8)
+    lat, lng = faceijk.cell_to_latlng(cells)
+    assert 10.0 < lat[0] < 11.0
+    assert 45.0 < lng[0] < 46.0
+
+
+@pytest.mark.parametrize("res", [0, 1, 2, 3])
+def test_exhaustive_roundtrip(res):
+    cells = all_cells_at_res(res)
+    expected = {0: 122, 1: 842, 2: 5882, 3: 41162}[res]
+    assert len(cells) == expected
+    assert bits.is_valid_cell(cells).all()
+    lat, lng = faceijk.cell_to_latlng(cells)
+    back = faceijk.latlng_to_cell(lat, lng, res)
+    assert (back == cells).all()
+
+
+def test_random_roundtrip_deep():
+    rng = np.random.default_rng(42)
+    lat = rng.uniform(-89.9, 89.9, 5000)
+    lng = rng.uniform(-180.0, 180.0, 5000)
+    for res in (5, 9, 12, 15):
+        c = faceijk.latlng_to_cell(lat, lng, res)
+        assert bits.is_valid_cell(c).all()
+        la, lo = faceijk.cell_to_latlng(c)
+        c2 = faceijk.latlng_to_cell(la, lo, res)
+        assert (c2 == c).all()
+
+
+def test_parent_child_bits():
+    c = faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 8)
+    p = bits.cell_to_parent(c, 5)
+    assert bits.get_resolution(p)[0] == 5
+    assert bits.is_valid_cell(p).all()
+    cc = bits.cell_to_center_child(p, 8)
+    assert bits.get_resolution(cc)[0] == 8
+    # parent of center child is the original parent
+    assert (bits.cell_to_parent(cc, 5) == p).all()
+
+
+def test_validity():
+    vals = np.array([45, GOLDEN_CELL_45_10_RES5, 0], dtype=np.uint64)
+    assert list(bits.is_valid_cell(vals)) == [False, True, False]
+
+
+def test_hex_strings():
+    s = bits.to_hex_strings(np.array([GOLDEN_CELL_45_10_RES5], dtype=np.uint64))
+    assert s[0] == "851f9923fffffff"
+    vals, ok = bits.parse_hex_strings(["851f9923fffffff", "nope"])
+    assert ok[0] and not ok[1]
+    assert vals[0] == GOLDEN_CELL_45_10_RES5
+
+
+def test_pentagon_count():
+    for res in (0, 1, 2):
+        cells = all_cells_at_res(res)
+        assert bits.is_pentagon(cells).sum() == 12
