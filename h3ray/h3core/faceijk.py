@@ -541,6 +541,7 @@ def cell_to_faceijk(h: np.ndarray):
         else:
             stepped = ijk.down_ap7r(coord)
         d = bits.get_index_digit(h, r).astype(np.int64)
+        d = np.where(active, d, 0)  # digits past res are 7 (unused)
         stepped = ijk.neighbor(stepped, d)
         coord = np.where(active[:, None], stepped, coord)
 

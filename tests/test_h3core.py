@@ -98,3 +98,67 @@ def test_pentagon_count():
     for res in (0, 1, 2):
         cells = all_cells_at_res(res)
         assert bits.is_pentagon(cells).sum() == 12
+
+
+class TestBoundary:
+    def test_area_goldens(self):
+        # reference: tests/arrow/test_measure.py:8-21
+        from h3ray.h3core import boundary
+
+        cells = faceijk.latlng_to_cell(
+            np.array([10.3] * 3), np.array([45.1] * 3), np.array([8, 5, 3])
+        )
+        areas = boundary.cells_area_km2(cells)
+        assert int(areas[0] * 100) == 62
+        assert int(areas[1]) == 213
+        assert int(areas[2]) == 10456
+
+    def test_pentagon_published_areas(self):
+        from h3ray.h3core import boundary
+
+        res0 = bits.set_base_cell(bits.init_cell(0, 122), np.arange(122, dtype=np.uint64))
+        pents = res0[bits.is_pentagon(res0)]
+        a0 = boundary.cells_area_km2(pents)
+        assert np.allclose(a0, 2562182.16295, atol=1e-3)
+        p1 = bits.set_index_digit(
+            bits.set_resolution(pents, np.full(12, 1, dtype=np.uint64)),
+            1,
+            np.zeros(12, dtype=np.uint64),
+        )
+        assert np.allclose(boundary.cells_area_km2(p1), 328434.5853, atol=1e-2)
+
+    def test_sphere_partition(self):
+        import math
+
+        from h3ray.h3core import boundary
+
+        sphere = 4 * math.pi * 6371.007180918475**2
+        for res in (1, 2):
+            tot = boundary.cells_area_km2(all_cells_at_res(res)).sum()
+            assert abs(tot - sphere) < 1e-3
+
+    def test_bounds_contain_centroid(self):
+        # reference: tests/arrow/test_coordinates.py:45-75
+        from h3ray.h3core import boundary
+
+        cells = faceijk.latlng_to_cell(
+            np.array([10.3, 10.3]), np.array([45.1, 45.1]), np.array([8, 5])
+        )
+        minx, miny, maxx, maxy = boundary.cells_bounds_arrays(cells)
+        assert (minx < 45.1).all() and (maxx > 45.1).all()
+        assert (miny < 10.3).all() and (maxy > 10.3).all()
+
+    def test_vertex_counts(self):
+        from h3ray.h3core import boundary
+
+        res0 = bits.set_base_cell(bits.init_cell(0, 122), np.arange(122, dtype=np.uint64))
+        pents = res0[bits.is_pentagon(res0)]
+        _, _, off = boundary.cell_boundary(pents)
+        assert (np.diff(off) == 5).all()  # class II pentagon
+        p1 = bits.set_index_digit(
+            bits.set_resolution(pents, np.full(12, 1, dtype=np.uint64)),
+            1,
+            np.zeros(12, dtype=np.uint64),
+        )
+        _, _, off1 = boundary.cell_boundary(p1)
+        assert (np.diff(off1) == 10).all()  # class III pentagon distortion
