@@ -1,0 +1,104 @@
+"""Traversal + hierarchy kernels: reference-suite counterparts of
+tests/arrow/test_neighbor.py, test_resolution.py, test_compact.py."""
+
+import numpy as np
+
+from h3ray.h3core import bits, boundary, faceijk, hierarchy, traversal
+from .test_h3core import all_cells_at_res
+
+
+def test_disk_sizes():
+    origins = faceijk.latlng_to_cell(np.array([45.5, 10.3]), np.array([10.2, 45.1]), 8)
+    for k in (1, 2, 3):
+        rows, disk, dist = traversal.grid_disk_distances(origins, k)
+        assert (np.bincount(rows) == 3 * k * k + 3 * k + 1).all()
+        assert dist.max() == k
+        # origin included at distance 0
+        assert ((dist == 0).sum()) == 2
+
+
+def test_disk_pentagon():
+    p = bits.set_base_cell(bits.init_cell(2, 1), np.array([4], dtype=np.uint64))
+    p = bits.set_index_digit(p, 1, np.array([0], dtype=np.uint64))
+    p = bits.set_index_digit(p, 2, np.array([0], dtype=np.uint64))
+    rows, disk, dist = traversal.grid_disk_distances(p, 2)
+    assert len(disk) == 16  # 1 + 5 + 10
+
+
+def test_all_neighbors_symmetric_res2():
+    cells = all_cells_at_res(2)
+    rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+    sizes = np.bincount(rows, minlength=len(cells))
+    pent = bits.is_pentagon(cells)
+    assert (sizes[~pent] == 7).all()
+    assert (sizes[pent] == 6).all()
+    nb = dist == 1
+    pairs = set(zip(cells[rows[nb]].tolist(), disk[nb].tolist()))
+    assert all((b, a) in pairs for a, b in pairs)
+    # geometric adjacency: no neighbor further than ~1.1x the local maximum
+    lat0, lng0 = faceijk.cell_to_latlng(cells)
+    lat1, lng1 = faceijk.cell_to_latlng(disk)
+    d = boundary.great_circle_distance_rads(
+        np.radians(lat0[rows[nb]]),
+        np.radians(lng0[rows[nb]]),
+        np.radians(lat1[nb]),
+        np.radians(lng1[nb]),
+    )
+    assert d.max() / np.median(d) < 1.2
+
+
+def test_ring_excludes_center():
+    origins = faceijk.latlng_to_cell(np.array([45.5]), np.array([10.2]), 7)
+    rows, cells, dist = traversal.grid_ring_distances(origins, 1, 2)
+    assert (dist >= 1).all()
+    assert len(cells) == 6 + 12
+
+
+def test_change_resolution_counts():
+    # reference: test_resolution.py:8-16 (7^4 + 7)
+    cells = faceijk.latlng_to_cell(
+        np.array([10.2, 10.3]), np.array([45.5, 45.1]), np.array([5, 8])
+    )
+    out = hierarchy.change_resolution(cells, 9)
+    assert len(out) == 7**4 + 7
+    assert (bits.get_resolution(out) == 9).all()
+    down = hierarchy.change_resolution(cells, 4)
+    assert len(down) == 2
+    assert (bits.get_resolution(down) == 4).all()
+
+
+def test_compact_roundtrip():
+    # reference: test_compact.py:13-44
+    cell = faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 8)
+    ch = hierarchy.change_resolution(cell, 10)
+    comp = hierarchy.compact(ch)
+    assert len(comp) == 1 and comp[0] == cell[0]
+    assert len(hierarchy.uncompact(cell, 9)) == 7
+
+    import pytest
+
+    with pytest.raises(ValueError, match="heterogen"):
+        hierarchy.compact(
+            np.concatenate([cell, bits.cell_to_parent(cell, np.uint64(4))])
+        )
+    # mixed-resolution mode
+    mixed = np.concatenate([cell, faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 9)])
+    out = hierarchy.compact(mixed, mixed_resolutions=True)
+    assert len(out) == 2  # the res-9 cell is not a complete child set
+
+
+def test_compact_pentagon():
+    # pentagon parents complete with 6 children
+    p = bits.set_base_cell(bits.init_cell(0, 1), np.array([4], dtype=np.uint64))
+    ch = hierarchy.uncompact(p, 2)
+    comp = hierarchy.compact(ch)
+    assert len(comp) == 1 and comp[0] == p[0]
+
+
+def test_change_resolution_paired():
+    cell = faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 8)
+    b, a = hierarchy.change_resolution_paired(cell, 9)
+    assert len(b) == 7
+    assert (bits.get_resolution(b) == 8).all()
+    assert (bits.get_resolution(a) == 9).all()
+    assert (bits.cell_to_parent(a, np.uint64(8)) == b).all()
