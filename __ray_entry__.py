@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-corpus pipeline at sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md section 2; ``oracle_sql()`` gives the DuckDB twin of each query
+(omitted for H3-encode pipelines SQL cannot express — those get rows-only
+checks and are anchored by goldens in tests/).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +15,49 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: interleaved docs -> geo spans -> cells -> PIP join."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray import corpus as corpus_mod
+    from h3ray import join as join_mod
+    from h3ray import kernels
+    from h3ray.pipelines.queries import nation_rects
+
+    nk, lng0, lat0, lng1, lat1 = nation_rects(SF_SMOKE)
+    lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3)
+    lookup_ref = ray.put(lookup)
+
+    def pipeline(batch: pa.Table) -> pa.Table:
+        docs = corpus_mod.interleave_documents(batch)
+        docs = corpus_mod.spans_fingerprint(docs)
+        geo = corpus_mod.extract_geo_spans(docs)
+        parsed = kernels.cells_parse(geo, "geo_text")
+        parsed = kernels.cells_to_coordinates(parsed)
+        refine = join_mod.make_pip_refine_kernel(
+            lookup_ref, id_cols=("doc_id",), rect_id_col="rect_id"
+        )
+        joined = refine(parsed)
+        return joined
+
+    ds = ray.data.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(pipeline, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from h3ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from h3ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

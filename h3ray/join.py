@@ -1,0 +1,146 @@
+"""Distributed point-in-polygon join (the north-star operator).
+
+Two-phase design per SURVEY.md section 2.8 (mirrors the intent of the
+reference's Rust-only SpatialIndex, crates/h3arrow/src/spatial_index.rs,
+re-expressed for Ray Data):
+
+  phase 1 — cover: each polygon/rectangle is covered by the set of H3 cells
+  at a join resolution whose cells could contain any of its points (a
+  superset; guaranteed by sampling the buffered bbox at sub-inradius
+  spacing).  The cover is keyed by cell.
+
+  phase 2 — join: points are encoded to the same resolution.
+    * broadcast variant (small polygon side): the cover dict is placed in
+      the object store once (``ray.put``) and every ``map_batches`` task
+      reads it zero-copy; candidates are refined with an exact planar test.
+    * shuffle variant (both sides large): both sides key by cell and
+      co-group via ``groupby(cell).map_groups``; hot cells are salted by
+      hashing the point id into S buckets and replicating the polygon side
+      per bucket.
+
+The exact refinement is planar (lng/lat rectangles / rings), matching both
+the reference's geo-types semantics and the SQL BETWEEN oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .h3core import bits, faceijk
+
+# minimum cell inradius (radians) by resolution, derived once from the grid:
+# conservative global minimum edge scale (used for cover sampling spacing)
+_MIN_INRADIUS_DEG = {
+    0: 4.0, 1: 1.5, 2: 0.55, 3: 0.2, 4: 0.075, 5: 0.028,
+    6: 0.0105, 7: 0.004, 8: 0.0015, 9: 0.00055,
+}
+# maximum center-to-vertex distance (degrees of great-circle) by res
+_MAX_CIRCUMRADIUS_DEG = {
+    0: 12.0, 1: 4.5, 2: 1.7, 3: 0.65, 4: 0.25, 5: 0.095,
+    6: 0.036, 7: 0.0137, 8: 0.0052, 9: 0.002,
+}
+
+
+def rect_cover_cells(
+    rect_ids: np.ndarray,
+    lng0: np.ndarray,
+    lat0: np.ndarray,
+    lng1: np.ndarray,
+    lat1: np.ndarray,
+    res: int,
+):
+    """Superset cover of each rectangle at ``res``.
+
+    Returns (rect_row_idx, cell) pairs.  Every point inside a rectangle maps
+    to a cell in its cover: the rect is buffered by the cell circumradius so
+    any cell whose *center* falls outside can't contain an inside point, and
+    the buffered bbox is sampled at sub-inradius spacing so no candidate
+    center is missed.
+    """
+    buf = _MAX_CIRCUMRADIUS_DEG[res] * 1.05
+    step = _MIN_INRADIUS_DEG[res] * 0.9
+    out_rows = []
+    out_cells = []
+    for i in range(len(rect_ids)):
+        la0 = lat0[i] - buf
+        la1 = lat1[i] + buf
+        coslat = max(0.05, np.cos(np.radians(min(abs(la0), abs(la1)) if la0 * la1 > 0 else 0.0)))
+        lo0 = lng0[i] - buf / coslat
+        lo1 = lng1[i] + buf / coslat
+        lats = np.arange(la0, la1 + step, step)
+        lngs = np.arange(lo0, lo1 + step / coslat, step / coslat)
+        glat = np.repeat(lats, len(lngs))
+        glng = np.tile(lngs, len(lats))
+        cells = np.unique(faceijk.latlng_to_cell(glat, glng, res))
+        out_rows.append(np.full(len(cells), i, dtype=np.int64))
+        out_cells.append(cells)
+    return np.concatenate(out_rows), np.concatenate(out_cells)
+
+
+class RectLookup:
+    """Broadcastable cover index: cell -> candidate rectangle rows, plus the
+    exact rect bounds for refinement.  Built once on the driver from the
+    small side, shipped via ray.put, read zero-copy by every actor."""
+
+    def __init__(self, rect_ids, lng0, lat0, lng1, lat1, res: int):
+        self.res = res
+        self.rect_ids = np.asarray(rect_ids)
+        self.lng0 = np.asarray(lng0, dtype=np.float64)
+        self.lat0 = np.asarray(lat0, dtype=np.float64)
+        self.lng1 = np.asarray(lng1, dtype=np.float64)
+        self.lat1 = np.asarray(lat1, dtype=np.float64)
+        rows, cells = rect_cover_cells(
+            self.rect_ids, self.lng0, self.lat0, self.lng1, self.lat1, res
+        )
+        order = np.argsort(cells, kind="stable")
+        self._cells = cells[order]
+        self._rows = rows[order]
+
+    def candidates(self, cells: np.ndarray):
+        """For each input cell: matching (input_idx, rect_row) candidate
+        pairs via binary search on the sorted cover."""
+        left = np.searchsorted(self._cells, cells, side="left")
+        right = np.searchsorted(self._cells, cells, side="right")
+        counts = right - left
+        in_idx = np.repeat(np.arange(len(cells)), counts)
+        take = np.concatenate(
+            [np.arange(l, r) for l, r in zip(left, right) if r > l]
+        ) if counts.sum() else np.empty(0, dtype=np.int64)
+        return in_idx, self._rows[take]
+
+
+def make_pip_refine_kernel(
+    lookup_ref,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    id_cols=("point_id",),
+    rect_id_col: str = "rect_id",
+):
+    """Build a map_batches kernel closing over a ray.ObjectRef (or plain
+    RectLookup) that emits exact (point columns, rect_id) join rows."""
+    import ray
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        lookup = lookup_ref
+        if isinstance(lookup, ray.ObjectRef):
+            lookup = ray.get(lookup)
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        lng = batch.column(lng_col).to_numpy(zero_copy_only=False)
+        cells = faceijk.latlng_to_cell(lat, lng, lookup.res)
+        in_idx, rect_rows = lookup.candidates(cells)
+        # exact planar refinement (matches SQL BETWEEN semantics)
+        ok = (
+            (lng[in_idx] >= lookup.lng0[rect_rows])
+            & (lng[in_idx] <= lookup.lng1[rect_rows])
+            & (lat[in_idx] >= lookup.lat0[rect_rows])
+            & (lat[in_idx] <= lookup.lat1[rect_rows])
+        )
+        in_idx = in_idx[ok]
+        rect_rows = rect_rows[ok]
+        out = batch.select(list(id_cols)).take(pa.array(in_idx))
+        out = out.append_column(rect_id_col, pa.array(lookup.rect_ids[rect_rows]))
+        out = out.append_column("cell", pa.array(cells[in_idx]))
+        return out
+
+    return kernel

@@ -1,0 +1,405 @@
+"""Driver-contract query pipelines and their DuckDB oracles.
+
+Each ``q_*`` function takes an ``sf_dir`` and returns a Ray Dataset /
+pyarrow Table; ``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB runs on
+the same parquet tables.  Column names match exactly (the driver hashes
+values after sorting columns by name).
+
+H3 cell *construction* is SQL-expressible via bit arithmetic when the cell
+is built from integer columns, so the bit-op operator family (resolution,
+parent, validity, strings, children, compact) gets full value-level
+oracles.  The geometry family (latlng->cell encode, PIP join) is oracled
+through exact planar semantics: the flagship q_pip_join's H3 cover+refine
+must reproduce a plain SQL BETWEEN join bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..h3core import bits, faceijk
+from .. import corpus as corpus_mod
+from .. import join as join_mod
+from .. import kernels
+
+# ten non-pentagon base cells used for constructed cells
+_BASES = [0, 1, 2, 3, 5, 6, 7, 8, 9, 10]
+_BASES_SQL = "[" + ",".join(str(b) for b in _BASES) + "]"
+
+# SQL fragment building the same uint64 cell as _construct_cells (res 5)
+_CELL_SQL = f"""(
+    (CAST(1 AS BIGINT) << 59)
+    | (CAST(5 AS BIGINT) << 52)
+    | (CAST(list_extract({_BASES_SQL}, 1 + CAST(event_id % 10 AS INTEGER)) AS BIGINT) << 45)
+    | (CAST((event_id * 3) % 7 AS BIGINT) << 42)
+    | (CAST((event_id * 4) % 7 AS BIGINT) << 39)
+    | (CAST((event_id * 5) % 7 AS BIGINT) << 36)
+    | (CAST((event_id * 6) % 7 AS BIGINT) << 33)
+    | (CAST((event_id * 7) % 7 AS BIGINT) << 30)
+    | (CAST((CAST(1 AS BIGINT) << 30) - 1 AS BIGINT))
+)"""
+
+
+def _construct_cells(event_id: np.ndarray) -> np.ndarray:
+    """Deterministic valid res-5 cells from integer ids (numpy twin of
+    _CELL_SQL)."""
+    eid = event_id.astype(np.uint64)
+    base = np.array(_BASES, dtype=np.uint64)[(eid % 10).astype(np.int64)]
+    h = (
+        (np.uint64(1) << np.uint64(59))
+        | (np.uint64(5) << np.uint64(52))
+        | (base << np.uint64(45))
+        | (((eid * np.uint64(3)) % np.uint64(7)) << np.uint64(42))
+        | (((eid * np.uint64(4)) % np.uint64(7)) << np.uint64(39))
+        | (((eid * np.uint64(5)) % np.uint64(7)) << np.uint64(36))
+        | (((eid * np.uint64(6)) % np.uint64(7)) << np.uint64(33))
+        | (((eid * np.uint64(7)) % np.uint64(7)) << np.uint64(30))
+        | np.uint64((1 << 30) - 1)
+    )
+    return h
+
+
+def _events(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+
+
+def _with_cells(batch: pa.Table) -> pa.Table:
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    cells = _construct_cells(eid)
+    return batch.append_column("cell", pa.array(cells.astype(np.int64)))
+
+
+# --- bit-op family (full value oracles) -------------------------------------
+
+
+def q_cells_resolution(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        res = bits.get_resolution(cells).astype(np.int64)
+        return batch.append_column("resolution", pa.array(res))
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cells_parent_agg(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        parent = bits.cell_to_parent(cells, np.uint64(2)).astype(np.int64)
+        return pa.table({"parent": pa.array(parent)})
+
+    ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("parent").count()
+    return out.map_batches(
+        lambda b: b.rename_columns(["parent", "n"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_cells_valid(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        built = _construct_cells(eid)
+        mixed = np.where(eid % 2 == 0, built, eid.astype(np.uint64))
+        valid = bits.is_valid_cell(mixed)
+        return pa.table(
+            {"event_id": batch.column("event_id"), "valid": pa.array(valid)}
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cells_to_string(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        s = bits.to_hex_strings(cells)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cell_str": pa.array(s.tolist(), type=pa.string()),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_children_explode(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        t = kernels.change_resolution(batch, 6)
+        c = t.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id"), "cell": pa.array(c)})
+
+    ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
+def q_compact_invariant(sf_dir: str):
+    """children(cells,6) -> distinct -> compact == distinct input cells."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        return kernels.change_resolution(batch.select(["cell"]), 6)
+
+    ds = _events(sf_dir).map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct children, then a single compact group (constructed cells span
+    # 10 base cells; at sf scale this is small -- the large-scale path goes
+    # through groupby(base cell), exercised in tests/test_ray_layer.py)
+    distinct = ds.groupby("cell").count().drop_columns(["count()"])
+
+    def compact_k(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..h3core import hierarchy
+
+        out = hierarchy.compact(np.unique(cells), mixed_resolutions=True)
+        return pa.table({"cell": pa.array(out.astype(np.int64))})
+
+    return distinct.repartition(1).map_batches(
+        compact_k, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_disk_size(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = (
+            batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        from ..h3core import traversal
+
+        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        n = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        return pa.table({"event_id": batch.column("event_id"), "disk_n": pa.array(n)})
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- geometry family --------------------------------------------------------
+
+
+def event_lat(eid: np.ndarray) -> np.ndarray:
+    return ((eid * 37) % 16000) / 100.0 - 80.0
+
+
+def event_lng(eid: np.ndarray) -> np.ndarray:
+    return ((eid * 73) % 36000) / 100.0 - 180.0
+
+
+def nation_rects(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = t.column("n_nationkey").to_numpy().astype(np.int64)
+    lat0 = (nk * 11 % 140) - 70
+    lat1 = lat0 + 9
+    lng0 = (nk * 29 % 340) - 170
+    lng1 = lng0 + 13
+    return nk, lng0.astype(np.float64), lat0.astype(np.float64), lng1.astype(
+        np.float64
+    ), lat1.astype(np.float64)
+
+
+def q_pip_join(sf_dir: str):
+    """Flagship: H3 cover + cell equi-join + exact refine == SQL BETWEEN."""
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+    lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3)
+    lookup_ref = ray.put(lookup)
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        batch = batch.append_column("lat", pa.array(event_lat(eid)))
+        return batch.append_column("lng", pa.array(event_lng(eid)))
+
+    refine = join_mod.make_pip_refine_kernel(
+        lookup_ref, id_cols=("event_id",), rect_id_col="rect_id"
+    )
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "rect_id": batch.column("rect_id").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .map_batches(add_coords, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(cast_out, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_latlng_cells(sf_dir: str):
+    """Encode synthesized event coordinates at res 7 (rows-only check: SQL
+    cannot produce H3 encodings; correctness is anchored by goldens +
+    roundtrips in the pytest suite)."""
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = faceijk.latlng_to_cell(event_lat(eid), event_lng(eid), 7)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "cell": pa.array(cells.astype(np.int64)),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- corpus / text family ---------------------------------------------------
+
+
+def q_corpus_structure(sf_dir: str):
+    def k(batch: pa.Table) -> pa.Table:
+        t = corpus_mod.interleave_documents(batch)
+        spans = t.column("spans")
+        n_spans = pa.compute.list_value_length(spans)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_spans": n_spans.cast(pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_corpus_geo_cells(sf_dir: str):
+    """Full interleaved pipeline: corpus -> geo spans -> cells_parse ->
+    cells (rows-only; the geo text format itself is oracled via
+    q_corpus_structure and the parse kernel via pytest goldens)."""
+
+    def k(batch: pa.Table) -> pa.Table:
+        docs = corpus_mod.interleave_documents(batch)
+        geo = corpus_mod.extract_geo_spans(docs)
+        parsed = kernels.cells_parse(geo, "geo_text")
+        cells = parsed.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": parsed.column("doc_id"), "cell": pa.array(cells)})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ds.groupby("text").aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "first_doc_id": batch.column("min(doc_id)"),
+                "n": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def q_text_stats(sf_dir: str):
+    import pyarrow.compute as pc
+
+    def k(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "n_spaces": pc.count_substring(text, " ").cast(pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- oracle SQL -------------------------------------------------------------
+
+ORACLE_SQL = {
+    "cells_resolution": f"""
+        SELECT event_id, {_CELL_SQL} AS cell,
+               ({_CELL_SQL} >> 52) & 15 AS resolution
+        FROM events
+    """,
+    "cells_parent_agg": f"""
+        SELECT (({_CELL_SQL} & ~(CAST(15 AS BIGINT) << 52)) | (CAST(2 AS BIGINT) << 52))
+               | ((CAST(1 AS BIGINT) << 39) - 1) AS parent,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
+    "cells_valid": f"""
+        SELECT event_id, (event_id % 2 = 0) AS valid FROM events
+    """,
+    "cells_to_string": f"""
+        SELECT event_id, printf('%x', {_CELL_SQL}) AS cell_str FROM events
+    """,
+    "children_explode": f"""
+        SELECT event_id,
+               (({_CELL_SQL} & ~(CAST(15 AS BIGINT) << 52)) | (CAST(6 AS BIGINT) << 52))
+               & ~(CAST(7 AS BIGINT) << 27) | (CAST(d AS BIGINT) << 27) AS cell
+        FROM events, (SELECT unnest(range(7)) AS d)
+    """,
+    "compact_invariant": f"""
+        SELECT DISTINCT {_CELL_SQL} AS cell FROM events
+    """,
+    "disk_size": """
+        SELECT event_id, CAST(7 AS BIGINT) AS disk_n FROM events
+    """,
+    "pip_join": """
+        SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS rect_id
+        FROM events e, nation n
+        WHERE ((e.event_id * 37) % 16000) / 100.0 - 80.0
+                  BETWEEN (n.n_nationkey * 11 % 140) - 70
+                      AND (n.n_nationkey * 11 % 140) - 70 + 9
+          AND ((e.event_id * 73) % 36000) / 100.0 - 180.0
+                  BETWEEN (n.n_nationkey * 29 % 340) - 170
+                      AND (n.n_nationkey * 29 % 340) - 170 + 13
+    """,
+    "corpus_structure": """
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               CAST(4 + CASE WHEN length(text) > 200 THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_spans
+        FROM documents
+    """,
+    "exact_dedup": """
+        SELECT min(doc_id) AS first_doc_id, COUNT(*) AS n
+        FROM documents GROUP BY text
+    """,
+    "text_stats": """
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+                   AS n_spaces
+        FROM documents
+    """,
+}
+
+
+QUERIES = {
+    "cells_resolution": q_cells_resolution,
+    "cells_parent_agg": q_cells_parent_agg,
+    "cells_valid": q_cells_valid,
+    "cells_to_string": q_cells_to_string,
+    "children_explode": q_children_explode,
+    "compact_invariant": q_compact_invariant,
+    "disk_size": q_disk_size,
+    "pip_join": q_pip_join,
+    "latlng_cells": q_latlng_cells,
+    "corpus_structure": q_corpus_structure,
+    "corpus_geo_cells": q_corpus_geo_cells,
+    "exact_dedup": q_exact_dedup,
+    "text_stats": q_text_stats,
+}
