@@ -1,0 +1,313 @@
+"""Benchmark harness: headline Ray Data pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": secs, "unit": "sec",
+"queries": {...}, "sf": ..., "num_cpus": N, ...}.
+
+``--scaling`` runs the heavy encode+join pipeline twice in fresh
+subprocesses at num_cpus=8 and num_cpus=32 on identical input and reports
+throughput at both plus scaling efficiency (the sandbox substitute for the
+N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _blocks(rows: int) -> int:
+    # right-size read parallelism: ~50k rows per block, between 4 and 2/CPU
+    # (tiny inputs should not pay per-task overhead)
+    return max(4, min(NUM_CPUS * 2, rows // 50_000 + 1))
+
+
+def _pipelines(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from h3ray import corpus as corpus_mod
+    from h3ray import join as join_mod
+    from h3ray import kernels
+    from h3ray.h3core import bits, faceijk, hierarchy, traversal
+    from h3ray.pipelines.queries import (
+        event_lat,
+        event_lng,
+        nation_rects,
+    )
+
+    def final_merge(ds, key: str, val: str):
+        """Combiner pattern: blocks already hold partial (key, val) sums with
+        bounded cardinality, so the final merge is one Arrow C++ hash groupby
+        over the concatenated partials (far cheaper than an all-to-all for
+        bounded group counts; the groupby shuffle path in
+        h3ray/pipelines/queries.py covers unbounded cardinalities)."""
+        tables = ray.get(ds.to_arrow_refs())
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        return pa.TableGroupBy(t, key).aggregate([(val, "sum")])
+
+    n_events = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_lineitem = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def q_encode_pip():
+        """events -> coords -> res-7 cells -> broadcast PIP join -> count."""
+        nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+        lookup_ref = ray.put(join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3))
+        refine = join_mod.make_pip_refine_kernel(
+            lookup_ref, id_cols=("event_id",), rect_id_col="rect_id"
+        )
+
+        def add_coords(batch: pa.Table) -> pa.Table:
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            batch = batch.append_column("lat", pa.array(event_lat(eid)))
+            return batch.append_column("lng", pa.array(event_lng(eid)))
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id"],
+                override_num_blocks=_blocks(n_events),
+            )
+            .map_batches(add_coords, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+            .map_batches(refine, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        )
+        return ds.count()
+
+    def q_lineitem_encode_agg():
+        """lineitem -> synthesized coords -> res-9 cells -> parent res 4 ->
+        partial agg in-batch -> small groupby."""
+
+        def k(batch: pa.Table) -> pa.Table:
+            key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = key * 7 + ln
+            lat = ((kk * 37) % 16000) / 100.0 - 80.0
+            lng = ((kk * 73) % 36000) / 100.0 - 180.0
+            cells = faceijk.latlng_to_cell(lat, lng, 9)
+            parent = bits.cell_to_parent(cells, np.uint64(4))
+            # in-batch partial aggregation before the shuffle
+            u, c = np.unique(parent, return_counts=True)
+            return pa.table({"parent": pa.array(u), "n": pa.array(c)})
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber"],
+                override_num_blocks=_blocks(n_lineitem),
+            )
+            .map_batches(k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        )
+        return final_merge(ds, "parent", "n").num_rows
+
+    def q_disk_explode():
+        """events constructed cells -> grid_disk k=2 -> per-cell counts."""
+        from h3ray.pipelines.queries import _construct_cells
+
+        def k(batch: pa.Table) -> pa.Table:
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            cells = _construct_cells(eid)
+            rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+            u, c = np.unique(disk, return_counts=True)
+            return pa.table({"cell": pa.array(u), "n": pa.array(c)})
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id"],
+                override_num_blocks=_blocks(n_events),
+            )
+            .map_batches(k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        )
+        return final_merge(ds, "cell", "n").num_rows
+
+    def q_corpus_geo():
+        """documents -> interleaved spans -> geo parse -> cells."""
+
+        def k(batch: pa.Table) -> pa.Table:
+            docs = corpus_mod.interleave_documents(batch)
+            geo = corpus_mod.extract_geo_spans(docs)
+            parsed = kernels.cells_parse(geo, "geo_text")
+            return parsed.select(["doc_id", "cell"])
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "source"],
+            override_num_blocks=_blocks(n_docs),
+        ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        return ds.count()
+
+    def q_compact():
+        """lineitem cells res 8 -> distributed compact: partial per-batch,
+        grouped by res-0 base cell (compaction never crosses base cells)."""
+
+        def encode(batch: pa.Table) -> pa.Table:
+            key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+            kk = key * 7 + ln
+            lat = ((kk * 41) % 16000) / 100.0 - 80.0
+            lng = ((kk * 79) % 36000) / 100.0 - 180.0
+            cells = np.unique(faceijk.latlng_to_cell(lat, lng, 8))
+            return pa.table(
+                {
+                    "base": pa.array(bits.get_base_cell(cells)),
+                    "cell": pa.array(cells),
+                }
+            )
+
+        def partial_compact(batch: pa.Table) -> pa.Table:
+            cells = np.unique(
+                batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            out = hierarchy.compact(cells, mixed_resolutions=True)
+            return pa.table({"cell": pa.array(out)})
+
+        ds = (
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet",
+                columns=["l_orderkey", "l_linenumber"],
+                override_num_blocks=_blocks(n_lineitem),
+            )
+            .map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+            .map_batches(
+                partial_compact,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            )
+        )
+        # final compact over the (already reduced) union; the groupby(base
+        # cell).map_groups scale path lives in pipelines/queries.py
+        tables = ray.get(ds.to_arrow_refs())
+        t = pa.concat_tables([x for x in tables if x.num_rows])
+        cells = np.unique(t.column("cell").to_numpy(zero_copy_only=False))
+        return len(hierarchy.compact(cells, mixed_resolutions=True))
+
+    return {
+        "encode_pip": q_encode_pip,
+        "lineitem_encode_agg": q_lineitem_encode_agg,
+        "disk_explode": q_disk_explode,
+        "corpus_geo": q_corpus_geo,
+        "compact": q_compact,
+    }
+
+
+def _warm_kernel(batch):
+    import h3ray.h3core.boundary  # noqa: F401
+    import h3ray.h3core.traversal  # noqa: F401  (loads the table cache)
+
+    return batch
+
+
+def run_bench():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    # untimed warmup: spawn the worker pool + import the library everywhere
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_kernel, batch_format="pyarrow"
+    ).count()
+    qs = _pipelines(SF_DIR)
+    times = {}
+    rows = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        rows[name] = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "headline pipelines wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return out
+
+
+def _scaling_child(n_points: int):
+    """Heavy fixed-size pipeline: synthesize points, encode res 12, disk
+    k=1, parent aggregation.  Prints rows/sec."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray.h3core import bits, faceijk, traversal
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+
+    def k(batch: pa.Table) -> pa.Table:
+        i = batch.column("id").to_numpy(zero_copy_only=False)
+        lat = ((i * 37) % 16000) / 100.0 - 80.0
+        lng = ((i * 73) % 36000) / 100.0 - 180.0
+        cells = faceijk.latlng_to_cell(lat, lng, 12)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        parent = bits.cell_to_parent(disk, np.uint64(3))
+        u, c = np.unique(parent, return_counts=True)
+        return pa.table({"parent": pa.array(u), "n": pa.array(c)})
+
+    # warm the worker pool before timing (steady-state throughput)
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_kernel, batch_format="pyarrow"
+    ).count()
+
+    t0 = time.perf_counter()
+    ds = ray.data.range(n_points, override_num_blocks=NUM_CPUS * 4).map_batches(
+        k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    tables = ray.get(ds.to_arrow_refs())
+    t = pa.concat_tables([x for x in tables if x.num_rows])
+    pa.TableGroupBy(t, "parent").aggregate([("n", "sum")])
+    dt = time.perf_counter() - t0
+    print(json.dumps({"rows_per_sec": n_points / dt, "secs": dt}))
+    ray.shutdown()
+
+
+def run_scaling(n_points: int = 12_000_000):
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-child", str(n_points)],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tp8 = results[8]["rows_per_sec"]
+    tp32 = results[32]["rows_per_sec"]
+    eff = tp32 / (4.0 * tp8)
+    out = {
+        "metric": "scaling efficiency 8->32 cpus",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_8cpu": round(tp8),
+        "throughput_32cpu": round(tp32),
+        "n_points": n_points,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()

@@ -46,6 +46,12 @@ from .constants import (
     RES0_U_GNOMONIC,
 )
 
+from . import tablecache
+
+_CACHE = tablecache.load() or {}
+_FACEIJK_KEYS = ("fn_face", "fn_trans", "fn_rot", "fijk_cells", "fijk_rots")
+_HAVE_CACHED = all(k in _CACHE for k in _FACEIJK_KEYS)
+
 INVALID_BASE_CELL = 127
 
 NO_OVERAGE = 0
@@ -270,11 +276,15 @@ def _derive_face_neighbors():
     return face_t, trans_t, rot_t
 
 
-_fn_face, _fn_trans, _fn_rot = _derive_face_neighbors()
-# overwrite the memorized table in constants with the derived one
-FACE_NEIGHBOR_FACE = _fn_face
-FACE_NEIGHBOR_TRANSLATE = _fn_trans
-FACE_NEIGHBOR_CCWROT = _fn_rot
+if _HAVE_CACHED:
+    FACE_NEIGHBOR_FACE = _CACHE["fn_face"]
+    FACE_NEIGHBOR_TRANSLATE = _CACHE["fn_trans"]
+    FACE_NEIGHBOR_CCWROT = _CACHE["fn_rot"]
+else:
+    # overwrite the memorized table in constants with the derived one
+    FACE_NEIGHBOR_FACE, FACE_NEIGHBOR_TRANSLATE, FACE_NEIGHBOR_CCWROT = (
+        _derive_face_neighbors()
+    )
 
 
 # --- derived face -> base cell tables --------------------------------------
@@ -351,7 +361,11 @@ def _derive_face_ijk_base_cells():
     return cells, rots
 
 
-FACE_IJK_BASE_CELLS, FACE_IJK_BASE_CELL_CCWROT = _derive_face_ijk_base_cells()
+if _HAVE_CACHED:
+    FACE_IJK_BASE_CELLS = _CACHE["fijk_cells"]
+    FACE_IJK_BASE_CELL_CCWROT = _CACHE["fijk_rots"]
+else:
+    FACE_IJK_BASE_CELLS, FACE_IJK_BASE_CELL_CCWROT = _derive_face_ijk_base_cells()
 
 
 def _calibrate_pentagon_rotations():
@@ -592,4 +606,15 @@ def cell_to_latlng(h: np.ndarray):
 
 
 # calibration must run after the encode/decode functions are defined
-_calibrate_pentagon_rotations()
+if not _HAVE_CACHED:
+    _calibrate_pentagon_rotations()
+    tablecache.save(
+        {
+            **_CACHE,
+            "fn_face": FACE_NEIGHBOR_FACE,
+            "fn_trans": FACE_NEIGHBOR_TRANSLATE,
+            "fn_rot": FACE_NEIGHBOR_CCWROT,
+            "fijk_cells": FACE_IJK_BASE_CELLS,
+            "fijk_rots": FACE_IJK_BASE_CELL_CCWROT,
+        }
+    )

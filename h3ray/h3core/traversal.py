@@ -31,6 +31,12 @@ from .faceijk import (
     is_class_iii,
 )
 
+from . import tablecache
+
+_CACHE = tablecache.load() or {}
+_TRAV_KEYS = ("nd3", "na3", "nd2", "na2", "bcn", "bcr")
+_HAVE_CACHED = all(k in _CACHE for k in _TRAV_KEYS)
+
 INVALID_BASE_CELL = 127
 
 # --- derived aperture-7 carry tables ---------------------------------------
@@ -67,9 +73,13 @@ def _derive_carry_tables():
     return tables
 
 
-_ct = _derive_carry_tables()
-NEW_DIGIT_CIII, NEW_ADJUSTMENT_CIII = _ct["ciii"]  # used when res r+1 is Class III
-NEW_DIGIT_CII, NEW_ADJUSTMENT_CII = _ct["cii"]
+if _HAVE_CACHED:
+    NEW_DIGIT_CIII, NEW_ADJUSTMENT_CIII = _CACHE["nd3"], _CACHE["na3"]
+    NEW_DIGIT_CII, NEW_ADJUSTMENT_CII = _CACHE["nd2"], _CACHE["na2"]
+else:
+    _ct = _derive_carry_tables()
+    NEW_DIGIT_CIII, NEW_ADJUSTMENT_CIII = _ct["ciii"]  # when res r+1 is Class III
+    NEW_DIGIT_CII, NEW_ADJUSTMENT_CII = _ct["cii"]
 
 
 # --- derived base-cell neighbor table ---------------------------------------
@@ -112,7 +122,10 @@ def _derive_base_cell_neighbors():
     return nbr, rots
 
 
-BASE_CELL_NEIGHBORS, BASE_CELL_NEIGHBOR_ROTS = _derive_base_cell_neighbors()
+if _HAVE_CACHED:
+    BASE_CELL_NEIGHBORS, BASE_CELL_NEIGHBOR_ROTS = _CACHE["bcn"], _CACHE["bcr"]
+else:
+    BASE_CELL_NEIGHBORS, BASE_CELL_NEIGHBOR_ROTS = _derive_base_cell_neighbors()
 
 
 def _fix_pentagon_neighbor_cells():
@@ -153,7 +166,8 @@ def _fix_pentagon_neighbor_cells():
             BASE_CELL_NEIGHBORS[b, direction] = ring[(pjk + step * off) % 5]
 
 
-_fix_pentagon_neighbor_cells()
+if not _HAVE_CACHED:
+    _fix_pentagon_neighbor_cells()
 
 
 def _calibrate_pentagon_neighbor_rots():
@@ -473,4 +487,16 @@ def grid_ring_distances(origins: np.ndarray, k_min: int, k_max: int):
     m = dist >= k_min
     return rows[m], cells[m], dist[m]
 
-_calibrate_pentagon_neighbor_rots()
+if not _HAVE_CACHED:
+    _calibrate_pentagon_neighbor_rots()
+    tablecache.save(
+        {
+            **(tablecache.load() or {}),
+            "nd3": NEW_DIGIT_CIII,
+            "na3": NEW_ADJUSTMENT_CIII,
+            "nd2": NEW_DIGIT_CII,
+            "na2": NEW_ADJUSTMENT_CII,
+            "bcn": BASE_CELL_NEIGHBORS,
+            "bcr": BASE_CELL_NEIGHBOR_ROTS,
+        }
+    )

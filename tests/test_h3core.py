@@ -162,3 +162,31 @@ class TestBoundary:
         )
         _, _, off1 = boundary.cell_boundary(p1)
         assert (np.diff(off1) == 10).all()  # class III pentagon distortion
+
+
+def test_derived_table_cache_not_stale(tmp_path):
+    """Regenerate all derived tables from scratch in a subprocess and compare
+    against the cached module tables."""
+    import os
+    import subprocess
+    import sys
+
+    out = tmp_path / "fresh.npz"
+    code = (
+        "import numpy as np; import h3ray.h3core.faceijk as f; "
+        "import h3ray.h3core.traversal as t; "
+        f"np.savez(r'{out}', fc=f.FACE_IJK_BASE_CELLS, fr=f.FACE_IJK_BASE_CELL_CCWROT, "
+        "ff=f.FACE_NEIGHBOR_FACE, bn=t.BASE_CELL_NEIGHBORS, br=t.BASE_CELL_NEIGHBOR_ROTS)"
+    )
+    env = dict(os.environ)
+    env["H3RAY_DISABLE_TABLE_CACHE"] = "1"
+    subprocess.run([sys.executable, "-c", code], env=env, check=True, cwd="/root/repo")
+    from h3ray.h3core import faceijk as f
+    from h3ray.h3core import traversal as t
+
+    with np.load(out) as z:
+        assert (z["fc"] == f.FACE_IJK_BASE_CELLS).all()
+        assert (z["fr"] == f.FACE_IJK_BASE_CELL_CCWROT).all()
+        assert (z["ff"] == f.FACE_NEIGHBOR_FACE).all()
+        assert (z["bn"] == t.BASE_CELL_NEIGHBORS).all()
+        assert (z["br"] == t.BASE_CELL_NEIGHBOR_ROTS).all()
