@@ -1,0 +1,308 @@
+"""Vector operator surface: geometry <-> cells (reference-parity API).
+
+Array-level functions mirroring ``h3ronpy.vector`` and the cell/edge/vertex
+array ops (h3ronpy/python/h3ronpy/vector.py, src/vector.rs, src/array.rs),
+plus the pa.Table batch kernels used from ``Dataset.map_batches``.
+
+Everything operates on NumPy arrays / Arrow tables; geometry interchange is
+WKB (large_binary), written and parsed by our own codec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .h3core import bits, boundary, faceijk, polyfill, wkb
+from .h3core.traversal import neighbor_rotations
+
+# --- coordinates ------------------------------------------------------------
+
+
+def coordinates_to_cells(lat, lng, res, radians: bool = False) -> np.ndarray:
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    if radians:
+        lat = np.degrees(lat)
+        lng = np.degrees(lng)
+    return faceijk.latlng_to_cell(lat, lng, res)
+
+
+def cells_to_coordinates(cells, radians: bool = False):
+    lat, lng = faceijk.cell_to_latlng(np.asarray(cells, dtype=np.uint64))
+    if radians:
+        return np.radians(lat), np.radians(lng)
+    return lat, lng
+
+
+def cells_bounds(cells):
+    """Global bbox tuple (minx, miny, maxx, maxy) of the whole array
+    (reference: h3ronpy/src/vector.rs:88-99)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    if len(cells) == 0:
+        return None
+    minx, miny, maxx, maxy = boundary.cells_bounds_arrays(cells)
+    return float(minx.min()), float(miny.min()), float(maxx.max()), float(maxy.max())
+
+
+def cells_bounds_arrays(cells) -> pa.Table:
+    minx, miny, maxx, maxy = boundary.cells_bounds_arrays(
+        np.asarray(cells, dtype=np.uint64)
+    )
+    return pa.table({"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy})
+
+
+# --- cells -> WKB geometry --------------------------------------------------
+
+
+def cells_to_wkb_polygons(cells, radians: bool = False, link_cells: bool = False):
+    """Boundary polygon per cell as WKB (large_binary).  link_cells=True
+    dissolves adjacent cells into merged multipolygons (order not preserved,
+    like the reference, h3ronpy/python/h3ronpy/vector.py:59-66)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    lat, lng, off = boundary.cell_boundary(cells)
+    if radians:
+        lat = np.radians(lat)
+        lng = np.radians(lng)
+    if not link_cells:
+        out = []
+        for i in range(len(cells)):
+            ring = np.stack(
+                [lng[off[i]:off[i + 1]], lat[off[i]:off[i + 1]]], axis=1
+            )
+            ring = np.vstack([ring, ring[:1]])  # close
+            out.append(wkb.dumps_polygon([ring]))
+        return pa.array(out, type=pa.large_binary())
+    # dissolve: drop shared edges, stitch remaining segments into rings
+    return _dissolve_to_wkb(cells, lat, lng, off)
+
+
+def _dissolve_to_wkb(cells, lat, lng, off):
+    """Merge adjacent cells: shared edges (present twice, opposite direction)
+    cancel; remaining directed edges are stitched into rings."""
+    segs = {}
+    n = len(cells)
+    key = lambda la, lo: (round(la * 1e7), round(lo * 1e7))
+    for i in range(n):
+        ring_lat = lat[off[i]:off[i + 1]]
+        ring_lng = lng[off[i]:off[i + 1]]
+        m = len(ring_lat)
+        for v in range(m):
+            a = key(ring_lat[v], ring_lng[v])
+            b = key(ring_lat[(v + 1) % m], ring_lng[(v + 1) % m])
+            if (b, a) in segs:
+                del segs[(b, a)]
+            else:
+                segs[(a, b)] = True
+    nxt = {a: b for (a, b) in segs}
+    rings = []
+    while nxt:
+        start, cur = next(iter(nxt.items()))
+        ring = [start]
+        del nxt[start]
+        while cur != start and cur in nxt:
+            ring.append(cur)
+            nxt_cur = nxt.pop(cur)
+            cur = nxt_cur
+        ring.append(start)
+        rings.append(
+            np.array([[p[1] / 1e7, p[0] / 1e7] for p in ring], dtype=np.float64)
+        )
+    # group rings into polygons: treat each ccw ring as an outer shell
+    # (holes supported as additional rings of one multipolygon)
+    out = wkb.dumps_multipolygon([[r] for r in rings])
+    return pa.array([out], type=pa.large_binary())
+
+
+def cells_to_wkb_points(cells, radians: bool = False):
+    lat, lng = cells_to_coordinates(cells, radians=radians)
+    return pa.array(
+        [wkb.dumps_point(lo, la) for la, lo in zip(lat, lng)],
+        type=pa.large_binary(),
+    )
+
+
+def vertexes_to_wkb_points(vertexes, radians: bool = False):
+    """Vertex indexes -> point WKB: a vertex's position is the owner cell's
+    boundary vertex of that number."""
+    vx = np.asarray(vertexes, dtype=np.uint64)
+    owner = vertex_owner(vx)
+    vert_num = bits.get_reserved(vx).astype(np.int64)
+    lat, lng, off = boundary.cell_boundary(owner)
+    out = []
+    for i in range(len(vx)):
+        n = off[i + 1] - off[i]
+        v = min(vert_num[i], n - 1)
+        out.append(wkb.dumps_point(lng[off[i] + v], lat[off[i] + v]))
+    return pa.array(out, type=pa.large_binary())
+
+
+def directededges_to_wkb_linestrings(edges, radians: bool = False):
+    """Edge -> shared-boundary linestring WKB (origin/destination shared
+    vertices, including any distortion vertex)."""
+    edges = np.asarray(edges, dtype=np.uint64)
+    o = directededge_origin(edges)
+    d = directededge_destination(edges)
+    out = []
+    for i in range(len(edges)):
+        coords = _shared_boundary(o[i : i + 1], d[i : i + 1])
+        out.append(wkb.dumps_linestring(coords))
+    return pa.array(out, type=pa.large_binary())
+
+
+def _shared_boundary(o, d) -> np.ndarray:
+    lat_o, lng_o, off_o = boundary.cell_boundary(o)
+    lat_d, lng_d, off_d = boundary.cell_boundary(d)
+    ko = np.round(np.stack([lat_o, lng_o], axis=1) * 1e7).astype(np.int64)
+    kd = np.round(np.stack([lat_d, lng_d], axis=1) * 1e7).astype(np.int64)
+    kd_set = {tuple(x) for x in kd}
+    shared = [i for i, x in enumerate(ko) if tuple(x) in kd_set]
+    if not shared:
+        # fallback: centroid segment
+        la, lo = cells_to_coordinates(np.concatenate([o, d]))
+        return np.stack([lo, la], axis=1)
+    # keep ring order (shared vertices are consecutive on the ring)
+    coords = np.stack([lng_o[shared], lat_o[shared]], axis=1)
+    return coords
+
+
+# --- directed edges / vertexes ----------------------------------------------
+
+_U = np.uint64
+
+
+def cells_to_directededges(cells) -> tuple[np.ndarray, np.ndarray]:
+    """All directed edges originating at each cell; returns
+    (origin_row_idx, edges)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    pent = bits.is_pentagon(cells)
+    rows = []
+    out = []
+    for d in range(1, 7):
+        keep = ~(pent & (d == 1))
+        e = (cells & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (
+            _U(bits.MODE_DIRECTEDEDGE) << _U(59)
+        ) | (_U(d) << _U(56))
+        rows.append(np.nonzero(keep)[0])
+        out.append(e[keep])
+    rows = np.concatenate(rows)
+    out = np.concatenate(out)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], out[order]
+
+
+def directededge_origin(edges) -> np.ndarray:
+    edges = np.asarray(edges, dtype=np.uint64)
+    return (edges & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (
+        _U(bits.MODE_CELL) << _U(59)
+    )
+
+
+def directededge_destination(edges) -> np.ndarray:
+    edges = np.asarray(edges, dtype=np.uint64)
+    o = directededge_origin(edges)
+    direction = bits.get_reserved(edges).astype(np.int64)
+    res = bits.get_resolution(o)
+    out = np.zeros(len(edges), dtype=np.uint64)
+    for r in np.unique(res):
+        m = res == r
+        nbr, _, err = neighbor_rotations(o[m], direction[m])
+        out[m] = np.where(err == 0, nbr, np.uint64(0))
+    return out
+
+
+def directededges_length(edges, unit: str = "km") -> np.ndarray:
+    edges = np.asarray(edges, dtype=np.uint64)
+    o = directededge_origin(edges)
+    d = directededge_destination(edges)
+    out = np.zeros(len(edges))
+    for i in range(len(edges)):
+        coords = _shared_boundary(o[i : i + 1], d[i : i + 1])
+        if len(coords) < 2:
+            continue
+        la = np.radians(coords[:, 1])
+        lo = np.radians(coords[:, 0])
+        seg = boundary.great_circle_distance_rads(la[:-1], lo[:-1], la[1:], lo[1:])
+        out[i] = seg.sum()
+    if unit == "rads":
+        return out
+    if unit == "km":
+        return out * boundary.EARTH_RADIUS_KM
+    if unit == "m":
+        return out * boundary.EARTH_RADIUS_KM * 1000.0
+    raise ValueError(unit)
+
+
+def vertex_owner(vertexes) -> np.ndarray:
+    vx = np.asarray(vertexes, dtype=np.uint64)
+    return (vx & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (
+        _U(bits.MODE_CELL) << _U(59)
+    )
+
+
+# --- WKB -> cells (polyfill) ------------------------------------------------
+
+
+def wkb_to_cells(
+    wkb_array,
+    resolution: int,
+    containment_mode: str = "containscentroid",
+    compact: bool = False,
+    flatten: bool = False,
+):
+    """WKB geometries -> cells; returns (geometry_row_idx, cells) pairs
+    (the flattened form; list assembly is the caller's choice).
+
+    Mirror of h3ronpy.vector.wkb_to_cells (vector.py:105-133)."""
+    rows = []
+    cells = []
+    for i, item in enumerate(wkb_array):
+        if item is None:
+            continue
+        data = item.as_py() if hasattr(item, "as_py") else item
+        if data is None:
+            continue
+        geom = wkb.loads(data)
+        out = polyfill.geometry_to_cells(
+            geom, resolution, containment_mode, compact=compact
+        )
+        rows.append(np.full(len(out), i, dtype=np.int64))
+        cells.append(out)
+    if not rows:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    return np.concatenate(rows), np.concatenate(cells)
+
+
+def geometry_to_cells(
+    geom, resolution: int, containment_mode: str = "containscentroid",
+    compact: bool = False,
+) -> np.ndarray:
+    """Single __geo_interface__ object or internal dict -> cells."""
+    if not isinstance(geom, dict) or "type" not in geom:
+        geom = wkb.geo_interface_to_geom(geom)
+    elif "coordinates" in geom or "geometries" in geom:
+        geom = wkb.geo_interface_to_geom(geom)
+    return polyfill.geometry_to_cells(geom, resolution, containment_mode, compact)
+
+
+# --- batch kernels ----------------------------------------------------------
+
+
+def wkb_to_cells_kernel(
+    batch: pa.Table,
+    geometry_col: str = "geometry",
+    resolution: int = 9,
+    containment_mode: str = "containscentroid",
+    compact: bool = False,
+    cell_col: str = "cell",
+) -> pa.Table:
+    """Explode kernel: every non-geometry column repeated per produced cell
+    (mirror of geodataframe_to_cells, pandas/vector.py:74-135)."""
+    rows, cells = wkb_to_cells(
+        batch.column(geometry_col).combine_chunks(),
+        resolution,
+        containment_mode,
+        compact,
+    )
+    out = batch.drop_columns([geometry_col]).take(pa.array(rows))
+    return out.append_column(cell_col, pa.array(cells))
