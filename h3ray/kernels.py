@@ -226,3 +226,81 @@ def uncompact_kernel(batch: pa.Table, res: int, cell_col: str = DEFAULT_CELL_COL
         return pa.table({cell_col: pa.array(ch)})
     out = rest.take(pa.array(rows[parent_idx]))
     return out.append_column(cell_col, pa.array(ch))
+
+
+def grid_disk_aggregate_k_partial(
+    batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME
+) -> pa.Table:
+    """Partial stage of grid_disk_aggregate_k (reference:
+    h3ronpy/src/op/neighbor.rs:123-152): emit per-batch (cell, k) minima;
+    finalize with groupby('cell').min('k') / .max('k')."""
+    cells = _u64(batch, cell_col)
+    rows, disk, dist = traversal.grid_disk_distances(cells, k)
+    # per-batch partial: min/max distance per reached cell
+    order = np.lexsort((dist, disk))
+    d_sorted = disk[order]
+    k_sorted = dist[order]
+    first = np.r_[True, d_sorted[1:] != d_sorted[:-1]]
+    idx = np.nonzero(first)[0]
+    kmin = np.minimum.reduceat(k_sorted, idx)
+    kmax = np.maximum.reduceat(k_sorted, idx)
+    return pa.table(
+        {
+            "cell": pa.array(d_sorted[first]),
+            "k_min": pa.array(kmin.astype(np.uint32)),
+            "k_max": pa.array(kmax.astype(np.uint32)),
+        }
+    )
+
+
+def change_resolution_list(
+    batch: pa.Table, out_res: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "cells",
+) -> pa.Table:
+    """1:1 positional list<u64> output variant (reference:
+    change_resolution.rs:71-100); nulls preserved as empty lists."""
+    cells = _u64(batch, cell_col)
+    res = bits.get_resolution(cells).astype(np.int64)
+    lists = []
+    up = res >= out_res
+    parents = bits.cell_to_parent(cells, np.uint64(out_res))
+    for i in range(len(cells)):
+        if up[i]:
+            lists.append([int(parents[i])])
+        else:
+            ch, _ = hierarchy.cell_to_children(cells[i : i + 1], out_res)
+            lists.append([int(x) for x in ch])
+    return batch.append_column(out_col, pa.array(lists, type=pa.large_list(pa.uint64())))
+
+
+# published per-resolution stats (reference: ResolutionArray methods,
+# crates/h3arrow/src/array/resolution.rs:46-87)
+AVG_HEX_EDGE_KM = np.array(
+    [
+        1107.712591, 418.6760055, 158.2446558, 59.81085794, 22.6063794,
+        8.544408276, 3.229482772, 1.220629759, 0.461354684, 0.174375668,
+        0.065907807, 0.024910561, 0.009415526, 0.003559893, 0.001348575,
+        0.000509713,
+    ]
+)
+AVG_HEX_AREA_KM2 = np.array(
+    [
+        4357449.416078381, 609788.441794133, 86801.780398997, 12393.434655088,
+        1770.347654491, 252.903858182, 36.129062164, 5.161293360, 0.737327598,
+        0.105332513, 0.015047502, 0.002149643, 0.000307092, 0.000043870,
+        0.000006267, 0.000000895,
+    ]
+)
+
+
+def resolution_stats(batch: pa.Table, res_col: str = "resolution") -> pa.Table:
+    """Per-resolution lookup columns: avg area, avg edge length, cell count."""
+    res = _col(batch, res_col).astype(np.int64)
+    if (res < 0).any() or (res > 15).any():
+        raise ValueError("resolutions must be within 0..15")
+    n_cells = 2 + 120 * (7 ** res.astype(np.object_))
+    batch = batch.append_column("area_avg_km2", pa.array(AVG_HEX_AREA_KM2[res]))
+    batch = batch.append_column("edge_len_avg_km", pa.array(AVG_HEX_EDGE_KM[res]))
+    return batch.append_column(
+        "cell_count", pa.array([int(x) for x in n_cells], type=pa.int64())
+    )

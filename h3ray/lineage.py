@@ -1,0 +1,154 @@
+"""Per-partition lineage + checkpoint/resume (the north-rule requirement).
+
+Every finished partition of a pipeline writes its output as
+``part-{key}.parquet`` plus one lineage row to a sidecar table
+(``_lineage/part-{key}.parquet``) recording input fragments, cell range,
+row count, checksum and wall time.  On resume, completed partition keys are
+read from the sidecar and filtered OUT of the input scan *before* any work
+is scheduled, so a restarted job only computes missing partitions.
+
+The sidecar format is Parquet (the Lance-table analogue in this
+environment); the schema is format-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("partition_key", pa.string()),
+        ("input_fragments", pa.list_(pa.string())),
+        ("cell_min", pa.uint64()),
+        ("cell_max", pa.uint64()),
+        ("row_count", pa.int64()),
+        ("checksum", pa.uint32()),
+        ("wall_ms", pa.float64()),
+        ("finished_at", pa.float64()),
+    ]
+)
+
+
+def _lineage_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "_lineage")
+
+
+def completed_partitions(output_dir: str) -> set[str]:
+    """Partition keys already committed (per the sidecar)."""
+    d = _lineage_dir(output_dir)
+    if not os.path.isdir(d):
+        return set()
+    done = set()
+    for f in os.listdir(d):
+        if f.endswith(".parquet"):
+            try:
+                t = pq.read_table(os.path.join(d, f), columns=["partition_key"])
+                done.update(t.column("partition_key").to_pylist())
+            except OSError:
+                continue
+    return done
+
+
+def table_checksum(table: pa.Table) -> int:
+    """Order-insensitive crc of the table's rows (sorted serialized rows)."""
+    if table.num_rows == 0:
+        return 0
+    cols = sorted(table.column_names)
+    arrs = [table.column(c).to_pylist() for c in cols]
+    rows = sorted(zip(*arrs)) if arrs else []
+    return zlib.crc32(repr(rows).encode())
+
+
+def commit_partition(
+    output_dir: str,
+    partition_key: str,
+    table: pa.Table,
+    input_fragments: list[str],
+    wall_ms: float,
+    cell_col: str = "cell",
+) -> None:
+    """Atomically commit one partition: data file first, sidecar row last
+    (the sidecar row is the commit record; a crash in between leaves an
+    orphan data file that is simply overwritten on retry)."""
+    os.makedirs(output_dir, exist_ok=True)
+    os.makedirs(_lineage_dir(output_dir), exist_ok=True)
+    data_path = os.path.join(output_dir, f"part-{partition_key}.parquet")
+    tmp = data_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, data_path)
+    if cell_col in table.column_names and table.num_rows:
+        cells = table.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cmin, cmax = int(cells.min()), int(cells.max())
+    else:
+        cmin = cmax = 0
+    row = pa.table(
+        {
+            "partition_key": pa.array([partition_key]),
+            "input_fragments": pa.array([input_fragments], type=pa.list_(pa.string())),
+            "cell_min": pa.array([cmin], type=pa.uint64()),
+            "cell_max": pa.array([cmax], type=pa.uint64()),
+            "row_count": pa.array([table.num_rows], type=pa.int64()),
+            "checksum": pa.array([table_checksum(table)], type=pa.uint32()),
+            "wall_ms": pa.array([wall_ms]),
+            "finished_at": pa.array([time.time()]),
+        },
+        schema=LINEAGE_SCHEMA,
+    )
+    side_path = os.path.join(_lineage_dir(output_dir), f"part-{partition_key}.parquet")
+    tmp = side_path + ".tmp"
+    pq.write_table(row, tmp)
+    os.replace(tmp, side_path)
+
+
+def run_partitioned(
+    fragments: list[str],
+    output_dir: str,
+    kernel,
+    partition_key_of=None,
+    read_columns=None,
+):
+    """Resumable fragment-parallel pipeline: each input parquet fragment is
+    one partition; completed partitions (per the sidecar) are skipped before
+    scheduling.  ``kernel`` maps a pa.Table -> pa.Table.
+
+    Runs the per-partition work as Ray tasks over the *remaining* fragments
+    (a Dataset would also work; explicit tasks make the partition->commit
+    mapping exact, which is what resumability needs)."""
+    import ray
+
+    if partition_key_of is None:
+        partition_key_of = lambda frag: os.path.splitext(os.path.basename(frag))[0]
+
+    done = completed_partitions(output_dir)
+    todo = [f for f in fragments if partition_key_of(f) not in done]
+
+    @ray.remote
+    def _work(frag: str):
+        t0 = time.perf_counter()
+        table = pq.read_table(frag, columns=read_columns)
+        out = kernel(table)
+        wall = (time.perf_counter() - t0) * 1000.0
+        commit_partition(output_dir, partition_key_of(frag), out, [frag], wall)
+        return partition_key_of(frag), out.num_rows
+
+    results = ray.get([_work.remote(f) for f in todo])
+    return {
+        "completed_before": len(done),
+        "computed_now": len(results),
+        "results": results,
+    }
+
+
+def read_output(output_dir: str) -> pa.Table:
+    files = [
+        os.path.join(output_dir, f)
+        for f in sorted(os.listdir(output_dir))
+        if f.endswith(".parquet") and f.startswith("part-")
+    ]
+    return pa.concat_tables([pq.read_table(f) for f in files])

@@ -403,3 +403,235 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "text_stats": q_text_stats,
 }
+
+
+# --- extended operator families (round 1 additions) -------------------------
+
+
+def q_text_quality(sf_dir: str):
+    from ..functions import text as text_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        t = text_fns.token_stats(batch)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens_ws": t.column("n_tokens_ws")}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_lang_quality(sf_dir: str):
+    """Language guess + quality score per document (rows-only: heuristic
+    features, validated structurally in pytest)."""
+    from ..functions import text as text_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        t = text_fns.language_id(batch)
+        t = text_fns.quality_score(t)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_guess": t.column("lang_guess"),
+                "quality_bucket": pa.array(
+                    (t.column("quality").to_numpy(zero_copy_only=False) * 10).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH near-duplicate candidate pairs (rows-only; planted-pair
+    detection validated in pytest)."""
+    from ..functions import dedup as dedup_fns
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup_fns.minhash_dedup_pipeline(ds)
+    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+
+
+def q_simhash_bands(sf_dir: str):
+    """SimHash 4x16-bit blocking rows (rows-only)."""
+    from ..functions import dedup as dedup_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        t = dedup_fns.simhash_signatures(batch)
+        return dedup_fns.simhash_bands(t)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_ann_top1(sf_dir: str):
+    """Brute-force cosine top-1 for the first 20 vectors: each query's best
+    match must be itself (full value oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..functions import ann as ann_fns
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    dim = len(flat) // t.num_rows
+    X = flat.reshape(t.num_rows, dim)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = ann_fns.bruteforce_topk(ds, ids, X[:20], k=1)
+    return pa.table(
+        {
+            "query_id": top.column("query_id"),
+            "vec_id": top.column("vec_id"),
+        }
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force top-5 neighbors of 10 queries (rows-only: float ties make
+    value-level SQL comparison brittle; self-match + recall checked in
+    pytest)."""
+    import pyarrow.parquet as pq
+
+    from ..functions import ann as ann_fns
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    dim = len(flat) // t.num_rows
+    X = flat.reshape(t.num_rows, dim)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:10]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    top = ann_fns.bruteforce_topk(ds, ids, X[:10], k=5)
+    return pa.table(
+        {
+            "query_id": top.column("query_id"),
+            "vec_id": top.column("vec_id"),
+            "rank": top.column("rank"),
+        }
+    )
+
+
+def q_media_features(sf_dir: str):
+    """Interleaved corpus media spans -> synthesized payloads -> actor-pool
+    decode (fake mode) -> features (rows-only; deterministic)."""
+    from .. import corpus as corpus_mod
+    from ..functions import multimodal
+
+    def extract_media(batch: pa.Table) -> pa.Table:
+        docs = corpus_mod.interleave_documents(batch)
+        spans = docs.column("spans").combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        is_media = (kinds == "image") | (kinds == "audio")
+        refs = flat.field("media_ref").take(pa.array(np.nonzero(is_media)[0]))
+        t = pa.table({"media_ref": refs})
+        return multimodal.synthesize_media(t)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(extract_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = multimodal.media_pipeline(ds, mode="fake", concurrency=2, batch_size=128)
+    return out.map_batches(
+        lambda b: b.select(["media_ref", "kind", "decoded_size"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_polyfill_rects(sf_dir: str):
+    """Nation rectangles -> centroid-mode polyfill at res 4 -> cell counts
+    (rows-only; polyfill correctness anchored by pytest invariants)."""
+    from ..h3core import polyfill as polyfill_mod
+
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+
+    def k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for i, key in enumerate(ids):
+            j = int(np.nonzero(nk == key)[0][0])
+            ring = np.array(
+                [
+                    [lng0[j], lat0[j]],
+                    [lng1[j], lat0[j]],
+                    [lng1[j], lat1[j]],
+                    [lng0[j], lat1[j]],
+                    [lng0[j], lat0[j]],
+                ]
+            )
+            cells = polyfill_mod.polygon_to_cells(
+                {"type": "Polygon", "rings": [ring]}, 4, "containscentroid"
+            )
+            counts[i] = len(cells)
+        return pa.table(
+            {
+                "rect_id": pa.array(ids.astype(np.int64)),
+                "n_cells": pa.array(counts),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_localij(sf_dir: str):
+    """Constructed cells -> disk neighbors -> local IJ relative to the
+    origin (rows-only; golden + roundtrip in pytest)."""
+    from ..h3core import localij as localij_mod
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        i, j, ok = localij_mod.cells_to_localij(disk, cells[rows])
+        return pa.table(
+            {
+                "event_id": pa.array(eid[rows][ok]),
+                "i": pa.array(i[ok].astype(np.int64)),
+                "j": pa.array(j[ok].astype(np.int64)),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update(
+    {
+        "text_quality": q_text_quality,
+        "lang_quality": q_lang_quality,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_bands": q_simhash_bands,
+        "ann_top1": q_ann_top1,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        "polyfill_rects": q_polyfill_rects,
+        "localij": q_localij,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "text_quality": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens_ws
+            FROM documents
+        """,
+        "ann_top1": """
+            SELECT vec_id AS query_id, vec_id FROM embeddings
+            ORDER BY vec_id LIMIT 20
+        """,
+    }
+)

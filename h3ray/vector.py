@@ -306,3 +306,30 @@ def wkb_to_cells_kernel(
     )
     out = batch.drop_columns([geometry_col]).take(pa.array(rows))
     return out.append_column(cell_col, pa.array(cells))
+
+
+# --- string ops for all index kinds (cells handled in kernels.py) ----------
+
+
+def vertexes_to_string(vertexes) -> np.ndarray:
+    return bits.to_hex_strings(np.asarray(vertexes, dtype=np.uint64))
+
+
+def directededges_to_string(edges) -> np.ndarray:
+    return bits.to_hex_strings(np.asarray(edges, dtype=np.uint64))
+
+
+def vertexes_parse(strings, set_failing_to_invalid: bool = False):
+    vals, ok = bits.parse_hex_strings(list(strings))
+    ok &= bits.is_valid_vertex(vals)
+    if not set_failing_to_invalid and not ok.all():
+        raise ValueError("non-parsable VertexIndex")
+    return vals, ok
+
+
+def directededges_parse(strings, set_failing_to_invalid: bool = False):
+    vals, ok = bits.parse_hex_strings(list(strings))
+    ok &= bits.is_valid_directededge(vals)
+    if not set_failing_to_invalid and not ok.all():
+        raise ValueError("non-parsable DirectedEdgeIndex")
+    return vals, ok

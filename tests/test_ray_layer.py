@@ -1,0 +1,208 @@
+"""Ray-layer tests: Dataset wrapper, distributed compact, lineage resume,
+dedup/ANN/text/multimodal pipelines, corpus invariants."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    yield
+
+
+def test_h3dataset_chain(ray_session):
+    import ray
+
+    from h3ray.dataset import H3Dataset
+    from h3ray.h3core import bits
+
+    t = pa.table({"lat": pa.array([52.5, 40.7]), "lng": pa.array([13.4, -74.0])})
+    ds = H3Dataset(ray.data.from_arrow(t))
+    out = ds.coordinates_to_cells(res=8).cells_parent(4).cells_resolution().dataset
+    rows = out.take_all()
+    assert len(rows) == 2
+    assert all(r["resolution"] == 8 for r in rows)
+    assert all(
+        bits.get_resolution(np.array([r["parent"]], dtype=np.uint64))[0] == 4
+        for r in rows
+    )
+
+
+def test_distributed_compact_equals_local(ray_session):
+    import ray
+
+    from h3ray.dataset import H3Dataset
+    from h3ray.h3core import faceijk, hierarchy
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-60, 60, 5000)
+    lng = rng.uniform(-170, 170, 5000)
+    cells = np.unique(faceijk.latlng_to_cell(lat, lng, 6))
+    local = np.sort(hierarchy.compact(cells))
+    ds = H3Dataset(
+        ray.data.from_arrow(pa.table({"cell": pa.array(cells)})).repartition(8)
+    )
+    out = ds.compact().dataset.take_all()
+    dist = np.sort(np.array([r["cell"] for r in out], dtype=np.uint64))
+    assert np.array_equal(local, dist)
+
+
+def test_lineage_resume(ray_session, tmp_path):
+    from h3ray import lineage
+    from h3ray.h3core import faceijk
+
+    # build 3 input fragments
+    frags = []
+    for i in range(3):
+        p = tmp_path / f"frag{i}.parquet"
+        pq.write_table(
+            pa.table({"lat": pa.array([10.0 + i, 11.0 + i]), "lng": pa.array([5.0, 6.0])}),
+            p,
+        )
+        frags.append(str(p))
+
+    calls = []
+
+    def kernel(t: pa.Table) -> pa.Table:
+        calls.append(1)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        lng = t.column("lng").to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(faceijk.latlng_to_cell(lat, lng, 7))})
+
+    out_dir = str(tmp_path / "out")
+    r1 = lineage.run_partitioned(frags, out_dir, kernel)
+    assert r1["computed_now"] == 3 and r1["completed_before"] == 0
+    # resume: nothing recomputed
+    r2 = lineage.run_partitioned(frags, out_dir, kernel)
+    assert r2["computed_now"] == 0 and r2["completed_before"] == 3
+    # partial resume: drop one sidecar entry -> only that one recomputes
+    import os
+
+    os.remove(os.path.join(out_dir, "_lineage", "part-frag1.parquet"))
+    r3 = lineage.run_partitioned(frags, out_dir, kernel)
+    assert r3["computed_now"] == 1
+    out = lineage.read_output(out_dir)
+    assert out.num_rows == 6
+
+
+def test_minhash_finds_planted_dups(ray_session):
+    import ray
+
+    from h3ray.functions import dedup
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    texts = docs.column("text").to_pylist()[:50]
+    planted = texts + [texts[0] + " extra", texts[1][:-5]]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(planted)), type=pa.int64()),
+            "text": pa.array(planted),
+        }
+    )
+    pairs = dedup.minhash_dedup_pipeline(ray.data.from_arrow(tbl)).take_all()
+    pairset = {(p["a"], p["b"]) for p in pairs}
+    assert (0, 50) in pairset
+    assert (1, 51) in pairset
+    # verification: planted pairs have high jaccard
+    assert dedup.jaccard(planted[0], planted[50]) > 0.8
+
+
+def test_simhash_separation():
+    from h3ray.functions import dedup
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    texts = docs.column("text").to_pylist()[:20]
+    planted = texts + [texts[0] + " x"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(planted))), "text": pa.array(planted)}
+    )
+    sig = (
+        dedup.simhash_signatures(tbl)
+        .column("simhash")
+        .to_numpy(zero_copy_only=False)
+    )
+    near = dedup.hamming(sig[0:1], sig[-1:])[0]
+    far = np.median(dedup.hamming(np.repeat(sig[0:1], 18), sig[1:19]))
+    assert near <= 6 < far
+
+
+def test_ann_self_match(ray_session):
+    import ray
+
+    from h3ray.functions import ann
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    dim = len(flat) // t.num_rows
+    X = flat.reshape(t.num_rows, dim)
+    ds = ray.data.from_arrow(t)
+    top = ann.bruteforce_topk(ds, [0, 1, 2], X[:3], k=5)
+    df = top.to_pandas()
+    r0 = df[df["rank"] == 0]
+    assert list(r0["query_id"]) == list(r0["vec_id"])
+    assert (r0["cosine"] > 0.999999).all()
+    # IVF recall vs brute force at generous n_probe
+    cents = ann.train_centroids(X[:200], 8)
+    ivf = ann.ivf_topk(ds, [0, 1, 2], X[:3], cents, k=5, n_probe=8).to_pandas()
+    merged = df.merge(ivf, on=["query_id", "vec_id"], how="inner")
+    assert len(merged) == len(df)  # n_probe == all buckets -> exact
+
+
+def test_media_actor_pool(ray_session):
+    import ray
+
+    from h3ray.functions import multimodal
+
+    refs = [f"media://web/{i}/0" for i in range(20)]
+    t = multimodal.synthesize_media(pa.table({"media_ref": pa.array(refs)}))
+    out = multimodal.media_pipeline(
+        ray.data.from_arrow(t), mode="fake", concurrency=2, batch_size=8
+    ).take_all()
+    assert len(out) == 20
+    assert all(0.0 <= r["feat_mean"] <= 1.0 for r in out)
+    # determinism
+    out2 = multimodal.media_pipeline(
+        ray.data.from_arrow(t), mode="fake", concurrency=2, batch_size=8
+    ).take_all()
+    a = sorted((r["media_ref"], r["feat_mean"]) for r in out)
+    b = sorted((r["media_ref"], r["feat_mean"]) for r in out2)
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        multimodal.MediaDecoder(mode="strict")._decode(b"x", "image")
+
+
+def test_corpus_span_invariant():
+    from h3ray import corpus
+
+    b = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    docs = corpus.interleave_documents(b)
+    fp1 = corpus.spans_fingerprint(docs).column("span_fp").to_pylist()
+    # a pipeline that reorders rows must preserve per-row span sequences
+    perm = docs.take(pa.array(np.random.default_rng(1).permutation(len(docs))))
+    fp2 = corpus.spans_fingerprint(perm).column("span_fp").to_pylist()
+    assert sorted(fp1) == sorted(fp2)
+    # geo spans parse back into the synthesized cells
+    geo = corpus.extract_geo_spans(docs)
+    assert geo.num_rows == len(docs)
+
+
+def test_text_kernels():
+    from h3ray.functions import text
+
+    b = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    t = text.token_stats(b)
+    assert (np.array(t.column("n_tokens_ws").to_pylist()) > 0).all()
+    t = text.quality_score(b)
+    q = np.array(t.column("quality").to_pylist())
+    assert ((q >= 0) & (q <= 1)).all()
+    t = text.language_id(b)
+    assert set(t.column("lang_guess").to_pylist()) <= {"en", "de", "fr", "es", "und"}
+    t = text.document_fingerprint(b)
+    fp = t.column("fingerprint").to_pylist()
+    assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
