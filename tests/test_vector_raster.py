@@ -1,0 +1,211 @@
+"""Vector (WKB/polyfill/edges) and raster tests mirroring the reference's
+test_vector.py / test_raster.py strategies with synthetic geometries."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from h3ray import raster, vector
+from h3ray.h3core import bits, boundary, faceijk, hierarchy, polyfill, wkb
+
+RECT = {
+    "type": "Polygon",
+    "rings": [
+        np.array(
+            [[13.0, 52.3], [13.8, 52.3], [13.8, 52.7], [13.0, 52.7], [13.0, 52.3]]
+        )
+    ],
+}
+
+
+class TestPolyfill:
+    def test_mode_nesting(self):
+        cc = polyfill.polygon_to_cells(RECT, 7, "containscentroid")
+        cb = polyfill.polygon_to_cells(RECT, 7, "containsboundary")
+        ib = polyfill.polygon_to_cells(RECT, 7, "intersectsboundary")
+        cv = polyfill.polygon_to_cells(RECT, 7, "covers")
+        assert len(cb) < len(cc) < len(ib) <= len(cv)
+        assert np.isin(cb, cc).all()
+        assert np.isin(cc, ib).all()
+        assert np.isin(ib, cv).all()
+
+    def test_centroid_area_agreement(self):
+        import math
+
+        cc = polyfill.polygon_to_cells(RECT, 7, "containscentroid")
+        rect_km2 = 0.8 * 0.4 * (111.32**2) * math.cos(math.radians(52.5))
+        cells_km2 = boundary.cells_area_km2(cc).sum()
+        assert abs(cells_km2 - rect_km2) / rect_km2 < 0.02
+
+    def test_self_polygon(self):
+        cell = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 6)
+        la, lo, off = boundary.cell_boundary(cell)
+        ring = np.stack([lo, la], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        got = polyfill.polygon_to_cells({"type": "Polygon", "rings": [ring]}, 6)
+        assert len(got) == 1 and got[0] == cell[0]
+
+    def test_hole(self):
+        hole = np.array(
+            [[13.3, 52.45], [13.5, 52.45], [13.5, 52.55], [13.3, 52.55], [13.3, 52.45]]
+        )[::-1]
+        withhole = {"type": "Polygon", "rings": [RECT["rings"][0], hole]}
+        cc = polyfill.polygon_to_cells(RECT, 7)
+        ch = polyfill.polygon_to_cells(withhole, 7)
+        assert len(ch) < len(cc)
+
+    def test_degenerate(self):
+        # reference: tests/pandas/test_vector.py:78-97
+        deg = {
+            "type": "Polygon",
+            "rings": [np.array([[10.0, 50.0]] * 4)],
+        }
+        assert len(polyfill.polygon_to_cells(deg, 7)) == 0
+
+    def test_compact_polyfill(self):
+        out = polyfill.geometry_to_cells(RECT, 7, compact=True)
+        full = polyfill.geometry_to_cells(RECT, 7)
+        assert len(out) < len(full)
+        back = hierarchy.uncompact(out, 7)
+        assert np.array_equal(np.sort(back), np.sort(full))
+
+    def test_point_and_line(self):
+        pt = {"type": "Point", "coords": np.array([[13.4, 52.5]])}
+        assert len(polyfill.geometry_to_cells(pt, 9)) == 1
+        line = {
+            "type": "LineString",
+            "coords": np.array([[13.0, 52.0], [13.5, 52.5]]),
+        }
+        cells = polyfill.geometry_to_cells(line, 7)
+        assert len(cells) > 10
+        assert bits.is_valid_cell(cells).all()
+
+
+class TestWkb:
+    def test_roundtrip(self):
+        ring = RECT["rings"][0]
+        g = wkb.loads(wkb.dumps_polygon([ring]))
+        assert g["type"] == "Polygon"
+        assert np.allclose(g["rings"][0], ring)
+        g = wkb.loads(wkb.dumps_point(1.5, -2.5))
+        assert g["coords"][0][0] == 1.5
+        g = wkb.loads(wkb.dumps_linestring(ring))
+        assert np.allclose(g["coords"], ring)
+
+    def test_errors(self):
+        with pytest.raises(wkb.WKBError):
+            wkb.loads(b"\x01\x03")
+        with pytest.raises(wkb.WKBError):
+            wkb.loads(b"")
+
+    def test_geo_interface(self):
+        obj = {"type": "Polygon", "coordinates": [RECT["rings"][0].tolist()]}
+        g = wkb.geo_interface_to_geom(obj)
+        cells = polyfill.geometry_to_cells(g, 6)
+        assert len(cells) > 0
+
+
+class TestVectorOps:
+    def test_kernel_explode(self):
+        t = pa.table(
+            {
+                "id": pa.array([1, 2]),
+                "geometry": pa.array(
+                    [
+                        wkb.dumps_polygon([RECT["rings"][0]]),
+                        wkb.dumps_point(13.4, 52.5),
+                    ],
+                    type=pa.large_binary(),
+                ),
+            }
+        )
+        out = vector.wkb_to_cells_kernel(t, resolution=7)
+        ids = out.column("id").to_numpy(zero_copy_only=False)
+        assert (ids == 2).sum() == 1
+        assert (ids == 1).sum() > 100
+
+    def test_edges(self):
+        cells = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 7)
+        rows, edges = vector.cells_to_directededges(cells)
+        assert len(edges) == 6
+        assert bits.is_valid_directededge(edges).all()
+        assert (vector.directededge_origin(edges) == cells[rows]).all()
+        lens = vector.directededges_length(edges, "km")
+        assert ((lens > 1.0) & (lens < 2.0)).all()  # res-7 edges ~1.2-1.4 km
+
+    def test_dissolve(self):
+        from h3ray.h3core import traversal
+
+        c = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 6)
+        _, disk, _ = traversal.grid_disk_distances(c, 1)
+        merged = vector.cells_to_wkb_polygons(disk, link_cells=True)
+        g = wkb.loads(merged[0].as_py())
+        assert g["type"] == "MultiPolygon"
+        assert len(g["parts"]) == 1  # one connected component
+        assert len(g["parts"][0]["rings"][0]) == 19  # 18 verts + closure
+
+    def test_localij_golden(self):
+        from h3ray.h3core import localij
+
+        anchor = np.array([0x85283473FFFFFFF], dtype=np.uint64)
+        cell = np.array([0x8528342BFFFFFFF], dtype=np.uint64)
+        i, j, ok = localij.cells_to_localij(cell, anchor)
+        assert ok[0] and i[0] == 25 and j[0] == 13
+        back, ok2 = localij.localij_to_cells(anchor, i, j)
+        assert ok2[0] and back[0] == cell[0]
+
+
+class TestRaster:
+    def setup_method(self):
+        self.t = raster.Transform(0.01, 0, 13.0, 0, -0.01, 53.0)
+        self.arr = np.zeros((100, 100), dtype=np.int32)
+        self.arr[:50, :50] = 1
+        self.arr[:50, 50:] = 2
+        self.arr[50:, :50] = 3
+        self.arr[50:, 50:] = 4
+
+    def test_nearest_resolution(self):
+        assert raster.nearest_h3_resolution(self.arr.shape, self.t) == 8
+        assert raster.nearest_h3_resolution(
+            self.arr.shape, self.t, "smaller_than_pixel"
+        ) >= 8
+
+    def test_raster_to_cells(self):
+        v, c = raster.raster_to_cells(self.arr, self.t, 8)
+        assert bits.is_valid_cell(c).all()
+        assert set(np.unique(v)) == {1, 2, 3, 4}
+        v0, c0 = raster.raster_to_cells(self.arr, self.t, 8, nodata_value=1)
+        assert 1 not in v0 and len(c0) < len(c)
+
+    def test_compact(self):
+        v, c = raster.raster_to_cells(self.arr, self.t, 8, compact=True)
+        assert len(np.unique(bits.get_resolution(c))) > 1
+        # uncompacting per value reproduces the uncompacted set
+        vf, cf = raster.raster_to_cells(self.arr, self.t, 8)
+        for val in (1, 2, 3, 4):
+            back = hierarchy.uncompact(c[v == val], 8)
+            assert np.array_equal(np.sort(back), np.sort(cf[vf == val]))
+
+    def test_tile_pipeline_equals_whole(self, ray_session):
+        import ray
+
+        v, c = raster.raster_to_cells(self.arr, self.t, 8)
+        ds = raster.tile_dataset(self.arr, self.t, tile_size=40)
+        out = ds.map_batches(
+            raster.make_tile_kernel(8), batch_format="pyarrow"
+        ).take_all()
+        tiled = np.sort(np.array([r["cell"] for r in out], dtype=np.uint64))
+        assert np.array_equal(tiled, np.sort(c))
+
+    def test_rasterize_roundtrip(self):
+        v, c = raster.raster_to_cells(self.arr, self.t, 8)
+        img, t2 = raster.rasterize_cells(c, v, (100, 100))
+        assert img.shape == (100, 100)
+        # strong agreement away from boundaries
+        assert (img != 0).mean() > 0.9
+
+    def test_wgs84_guard(self):
+        with pytest.raises(ValueError, match="WGS84"):
+            raster.raster_to_cells(
+                np.zeros((10, 10)), raster.Transform(1e5, 0, 0, 0, -1e5, 0), 5
+            )
