@@ -635,3 +635,121 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_raster_cells(sf_dir: str):
+    """Synthetic per-partkey rasters -> tile datasets -> cells (rows-only;
+    tiled-vs-whole equality is a pytest invariant).  Raster values derive
+    from part keys so the pipeline is deterministic."""
+    from .. import raster as raster_mod
+
+    def k(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        out_v = []
+        out_c = []
+        for key in keys[:8]:  # a few rasters per batch
+            t = raster_mod.Transform(
+                0.02, 0, float((key * 29) % 300 - 150), 0, -0.02,
+                float((key * 11) % 120 - 60),
+            )
+            rng = np.random.default_rng(int(key))
+            arr = rng.integers(0, 4, size=(40, 40)).astype(np.int32)
+            v, c = raster_mod.raster_to_cells(arr, t, 7, nodata_value=0)
+            out_v.append(v)
+            out_c.append(c.astype(np.int64))
+        if not out_v:
+            return pa.table(
+                {"value": pa.array([], type=pa.int32()),
+                 "cell": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {
+                "value": pa.array(np.concatenate(out_v)),
+                "cell": pa.array(np.concatenate(out_c)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_rasterize_roundtrip(sf_dir: str):
+    """cells+values -> raster -> non-nodata pixel count per raster
+    (rows-only)."""
+    from .. import raster as raster_mod
+    from ..h3core import polyfill as polyfill_mod
+
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+
+    def k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(ids), dtype=np.int64)
+        for i, key in enumerate(ids):
+            j = int(np.nonzero(nk == key)[0][0])
+            ring = np.array(
+                [
+                    [lng0[j], lat0[j]], [lng1[j], lat0[j]], [lng1[j], lat1[j]],
+                    [lng0[j], lat1[j]], [lng0[j], lat0[j]],
+                ]
+            )
+            cells = polyfill_mod.polygon_to_cells(
+                {"type": "Polygon", "rings": [ring]}, 4
+            )
+            if not len(cells):
+                continue
+            vals = np.full(len(cells), int(key) + 1, dtype=np.int32)
+            img, _ = raster_mod.rasterize_cells(cells, vals, (60, 60))
+            counts[i] = int((img != 0).sum())
+        return pa.table(
+            {"rect_id": pa.array(ids.astype(np.int64)), "n_pixels": pa.array(counts)}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_grid_disk_aggregate_k(sf_dir: str):
+    """Disk-union min-k aggregation: partial per batch + groupby('cell').min
+    (the reference's grid_disk_aggregate_k, rows-only)."""
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        t = pa.table({"cell": pa.array(cells.astype(np.int64))})
+        return kernels.grid_disk_aggregate_k_partial(
+            pa.table({"cell": pa.array(cells)}), 2
+        )
+
+    ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("cell").min("k_min")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cells),
+                "k": batch.column("min(k_min)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES.update(
+    {
+        "raster_cells": q_raster_cells,
+        "rasterize_roundtrip": q_rasterize_roundtrip,
+        "grid_disk_aggregate_k": q_grid_disk_aggregate_k,
+    }
+)
+
+
+def q_flagship_resumable(sf_dir: str):
+    from .flagship import q_flagship_resumable as _q
+
+    return _q(sf_dir)
+
+
+QUERIES.update({"flagship_resumable": q_flagship_resumable})
