@@ -144,3 +144,122 @@ def make_pip_refine_kernel(
         return out
 
     return kernel
+
+
+# --- shuffle variant (both sides large) -------------------------------------
+
+
+def pip_join_shuffle(
+    points_ds,
+    rect_ids: np.ndarray,
+    lng0: np.ndarray,
+    lat0: np.ndarray,
+    lng1: np.ndarray,
+    lat1: np.ndarray,
+    res: int,
+    salt: int = 4,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    point_id_col: str = "point_id",
+):
+    """Two-phase PIP join as a cell-keyed co-group shuffle.
+
+    When the polygon side is too large to broadcast, both sides key by the
+    cover cell and co-group via ``groupby(cell, salt).map_groups``:
+
+      * every point lands in exactly one (cell, salt) bucket, with
+        ``salt = hash(point_id) % S`` — a dense urban cell's points spread
+        over S buckets instead of one straggler group;
+      * every polygon cover row is replicated to all S salt buckets of its
+        cell, so each point bucket still sees every candidate polygon.
+
+    ``salt`` is the hot-cell fanout S; production pipelines would pick S per
+    cell from an observed-frequency sketch (constant here for clarity).
+    Output matches ``make_pip_refine_kernel`` row-for-row.
+    """
+    import ray
+
+    rect_ids = np.asarray(rect_ids, dtype=np.int64)
+    rows, cells = rect_cover_cells(rect_ids, lng0, lat0, lng1, lat1, res)
+    n = len(rows)
+    rect_side = pa.table(
+        {
+            "cell": pa.array(np.tile(cells, salt)),
+            "salt": pa.array(
+                np.repeat(np.arange(salt, dtype=np.int32), n)
+            ),
+            "side": pa.array(np.zeros(n * salt, dtype=np.int8)),
+            point_id_col: pa.array(np.zeros(n * salt, dtype=np.int64)),
+            lat_col: pa.array(np.zeros(n * salt)),
+            lng_col: pa.array(np.zeros(n * salt)),
+            "rect_id": pa.array(np.tile(rect_ids[rows], salt)),
+            "lng0": pa.array(np.tile(lng0[rows], salt)),
+            "lat0": pa.array(np.tile(lat0[rows], salt)),
+            "lng1": pa.array(np.tile(lng1[rows], salt)),
+            "lat1": pa.array(np.tile(lat1[rows], salt)),
+        }
+    )
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        from .h3core import faceijk
+
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        lng = batch.column(lng_col).to_numpy(zero_copy_only=False)
+        pid = batch.column(point_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = faceijk.latlng_to_cell(lat, lng, res)
+        m = len(batch)
+        return pa.table(
+            {
+                "cell": pa.array(cells),
+                "salt": pa.array(
+                    ((pid * 0x9E3779B9) % salt).astype(np.int32)
+                ),
+                "side": pa.array(np.ones(m, dtype=np.int8)),
+                point_id_col: pa.array(pid),
+                lat_col: pa.array(lat),
+                lng_col: pa.array(lng),
+                "rect_id": pa.array(np.zeros(m, dtype=np.int64)),
+                "lng0": pa.array(np.zeros(m)),
+                "lat0": pa.array(np.zeros(m)),
+                "lng1": pa.array(np.zeros(m)),
+                "lat1": pa.array(np.zeros(m)),
+            }
+        )
+
+    def join_group(batch: pa.Table) -> pa.Table:
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        pts = batch.filter(pa.array(side == 1))
+        rcs = batch.filter(pa.array(side == 0))
+        if pts.num_rows == 0 or rcs.num_rows == 0:
+            return pa.table(
+                {
+                    point_id_col: pa.array([], type=pa.int64()),
+                    "rect_id": pa.array([], type=pa.int64()),
+                }
+            )
+        plat = pts.column(lat_col).to_numpy(zero_copy_only=False)
+        plng = pts.column(lng_col).to_numpy(zero_copy_only=False)
+        pid = pts.column(point_id_col).to_numpy(zero_copy_only=False)
+        rl0 = rcs.column("lng0").to_numpy(zero_copy_only=False)
+        ra0 = rcs.column("lat0").to_numpy(zero_copy_only=False)
+        rl1 = rcs.column("lng1").to_numpy(zero_copy_only=False)
+        ra1 = rcs.column("lat1").to_numpy(zero_copy_only=False)
+        rid = rcs.column("rect_id").to_numpy(zero_copy_only=False)
+        hit = (
+            (plng[:, None] >= rl0[None, :])
+            & (plng[:, None] <= rl1[None, :])
+            & (plat[:, None] >= ra0[None, :])
+            & (plat[:, None] <= ra1[None, :])
+        )
+        pi, ri = np.nonzero(hit)
+        return pa.table(
+            {point_id_col: pa.array(pid[pi]), "rect_id": pa.array(rid[ri])}
+        )
+
+    pts_keyed = points_ds.map_batches(
+        point_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    both = pts_keyed.union(ray.data.from_arrow(rect_side))
+    return both.groupby(["cell", "salt"]).map_groups(
+        join_group, batch_format="pyarrow"
+    )

@@ -753,3 +753,42 @@ def q_flagship_resumable(sf_dir: str):
 
 
 QUERIES.update({"flagship_resumable": q_flagship_resumable})
+
+
+def q_pip_join_salted(sf_dir: str):
+    """The same flagship join semantics through the *shuffle* path: both
+    sides keyed by cover cell, hot-cell salting, groupby co-group.  Shares
+    the pip_join SQL BETWEEN oracle."""
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": pa.array(eid.astype(np.int64)),
+                "lat": pa.array(event_lat(eid)),
+                "lng": pa.array(event_lng(eid)),
+            }
+        )
+
+    pds = _events(sf_dir).map_batches(
+        add_coords, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = join_mod.pip_join_shuffle(
+        pds, nk, lng0.astype(np.float64), lat0.astype(np.float64),
+        lng1.astype(np.float64), lat1.astype(np.float64), res=3, salt=4,
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("point_id"),
+                "rect_id": batch.column("rect_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES.update({"pip_join_salted": q_pip_join_salted})
+ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})

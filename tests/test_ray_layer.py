@@ -206,3 +206,32 @@ def test_text_kernels():
     t = text.document_fingerprint(b)
     fp = t.column("fingerprint").to_pylist()
     assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
+
+
+def test_shuffle_join_equals_broadcast(ray_session):
+    import ray
+
+    from h3ray import join as join_mod
+    from h3ray.pipelines.queries import event_lat, event_lng, nation_rects
+
+    sf = SF
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf)
+    eid = np.arange(1000)
+    pts = pa.table(
+        {
+            "point_id": pa.array(eid.astype(np.int64)),
+            "lat": pa.array(event_lat(eid)),
+            "lng": pa.array(event_lng(eid)),
+        }
+    )
+    lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3)
+    ref = join_mod.make_pip_refine_kernel(lookup, id_cols=("point_id",))(pts)
+    ref_pairs = sorted(
+        zip(ref.column("point_id").to_pylist(), ref.column("rect_id").to_pylist())
+    )
+    out = join_mod.pip_join_shuffle(
+        ray.data.from_arrow(pts).repartition(4),
+        nk, lng0, lat0, lng1, lat1, res=3, salt=3,
+    ).take_all()
+    got = sorted((r["point_id"], r["rect_id"]) for r in out)
+    assert got == ref_pairs
