@@ -1,0 +1,4 @@
+"""h3ray: a Ray-Data-native H3 spatial engine (see README.md)."""
+
+from . import corpus, join, kernels, lineage, raster, vector  # noqa: F401
+from .dataset import H3Dataset  # noqa: F401

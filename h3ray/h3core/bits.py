@@ -115,8 +115,27 @@ def _rotate_digits(h: np.ndarray, table: np.ndarray, mask: np.ndarray | None = N
     return h
 
 
+# composed digit tables: applying n ccw rotations in one pass
+_ROT_CCW_POW = [np.arange(8, dtype=np.uint64)]
+for _ in range(5):
+    _ROT_CCW_POW.append(ROTATE60_CCW_DIGIT[_ROT_CCW_POW[-1]])
+
+
 def rotate60_ccw(h: np.ndarray) -> np.ndarray:
     return _rotate_digits(h, ROTATE60_CCW_DIGIT)
+
+
+def rotate60_ccw_n(h: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Apply per-row multiples of the ccw rotation in one digit pass per
+    distinct count (non-pentagon indexes only)."""
+    h = _u64(h).copy()
+    counts = np.asarray(counts) % 6
+    for n in np.unique(counts):
+        if n == 0:
+            continue
+        rows = np.nonzero(counts == n)[0]
+        h[rows] = _rotate_digits(h[rows], _ROT_CCW_POW[int(n)])
+    return h
 
 
 def rotate60_cw(h: np.ndarray) -> np.ndarray:

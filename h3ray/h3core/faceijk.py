@@ -97,14 +97,28 @@ def az_distance_point(lat1, lng1, az, dist):
 # --- geo -> hex2d on a face -------------------------------------------------
 
 
+_FACE_CENTER_POINT_F32 = FACE_CENTER_POINT.astype(np.float32)
+
+
 def nearest_face(lat: np.ndarray, lng: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Face whose center is closest; returns (face, cos angular distance)."""
-    v = np.stack(
-        [np.cos(lat) * np.cos(lng), np.cos(lat) * np.sin(lng), np.sin(lat)], axis=1
-    )
-    dots = v @ FACE_CENTER_POINT.T  # (N, 20)
-    face = np.argmax(dots, axis=1)
-    return face, np.clip(dots[np.arange(len(face)), face], -1.0, 1.0)
+    """Face whose center is closest; returns (face, cos angular distance).
+
+    The argmax runs in float32 (a face flip near the exact midline yields
+    the same cell — the lattice agrees across faces in the overlap region);
+    the angular distance is then recomputed in float64 for the chosen face.
+    """
+    cl = np.cos(lat)
+    x = cl * np.cos(lng)
+    y = cl * np.sin(lng)
+    z = np.sin(lat)
+    v32 = np.empty((len(lat), 3), dtype=np.float32)
+    v32[:, 0] = x
+    v32[:, 1] = y
+    v32[:, 2] = z
+    face = np.argmax(v32 @ _FACE_CENTER_POINT_F32.T, axis=1)
+    c = FACE_CENTER_POINT[face]
+    cosdist = x * c[:, 0] + y * c[:, 1] + z * c[:, 2]
+    return face, np.clip(cosdist, -1.0, 1.0)
 
 
 def geo_to_hex2d_on_face(lat, lng, face, res, cosdist=None):
@@ -476,26 +490,29 @@ def faceijk_to_cell(face, coord, res: int) -> np.ndarray:
 
     pent = BASE_CELL_IS_PENTAGON[bc.clip(0, NUM_BASE_CELLS - 1)] & (bc != INVALID_BASE_CELL)
     if pent.any():
-        lead = bits.leading_nonzero_digit(h)
-        fix = pent & (lead == ijk.K_AXES_DIGIT)
+        sel = np.nonzero(pent)[0]
+        hp = h[sel]
+        lead = bits.leading_nonzero_digit(hp)
+        fix = lead == ijk.K_AXES_DIGIT
         if fix.any():
-            cw = fix & BASE_CELL_CW_OFFSET[bc.clip(0, NUM_BASE_CELLS - 1), face]
+            cw = fix & BASE_CELL_CW_OFFSET[bc[sel].clip(0, NUM_BASE_CELLS - 1), face[sel]]
             ccw = fix & ~cw
             if cw.any():
-                h = np.where(cw, bits.rotate60_cw(h), h)
+                hp[cw] = bits.rotate60_cw(hp[cw])
             if ccw.any():
-                h = np.where(ccw, bits.rotate60_ccw(h), h)
+                hp[ccw] = bits.rotate60_ccw(hp[ccw])
+        nr_p = num_rots[sel]
         for nr in range(1, 6):
-            m = pent & (num_rots >= nr)
+            m = nr_p >= nr
             if not m.any():
                 continue
-            h = np.where(m, bits.rotate_pent60_ccw(h), h)
+            hp[m] = bits.rotate_pent60_ccw(hp[m])
+        h[sel] = hp
     nonpent = ~pent
-    for nr in range(1, 6):
-        m = nonpent & (num_rots >= nr)
-        if not m.any():
-            continue
-        h = np.where(m, bits.rotate60_ccw(h), h)
+    if nonpent.any():
+        rows = np.nonzero(nonpent & (num_rots > 0))[0]
+        if len(rows):
+            h[rows] = bits.rotate60_ccw_n(h[rows], num_rots[rows])
 
     h = np.where(out_of_range | (bc == INVALID_BASE_CELL), bits.H3_NULL, h)
     return h
@@ -535,7 +552,8 @@ def cell_to_faceijk(h: np.ndarray):
     lead = bits.leading_nonzero_digit(h)
     rot_fix = pent_base & (lead == ijk.IK_AXES_DIGIT)
     if rot_fix.any():
-        h = np.where(rot_fix, bits.rotate60_cw(h), h)
+        rows = np.nonzero(rot_fix)[0]
+        h[rows] = bits.rotate60_cw(h[rows])
 
     face = BASE_CELL_HOME_FACE[bc].copy()
     coord = BASE_CELL_HOME_IJK[bc].copy()

@@ -68,6 +68,9 @@ for _k in range(6):
 
 def normalize(ijk: np.ndarray) -> np.ndarray:
     """Normalize so min(i,j,k) == 0 (translation along (1,1,1) is identity)."""
+    if ijk.ndim == 2:
+        m = np.minimum(np.minimum(ijk[:, 0], ijk[:, 1]), ijk[:, 2])
+        return ijk - m[:, None]
     return ijk - ijk.min(axis=-1, keepdims=True)
 
 
@@ -137,12 +140,15 @@ def neighbor(ijk: np.ndarray, digit: np.ndarray) -> np.ndarray:
 
 
 def unit_ijk_to_digit(ijk: np.ndarray) -> np.ndarray:
-    """Map normalized unit ijk vectors to digits 0..6 (7 = invalid)."""
+    """Map normalized unit ijk vectors to digits 0..6 (7 = invalid).
+
+    For components in {0, 1} the digit is exactly (i<<2)|(j<<1)|k; anything
+    larger is not a unit vector."""
     n = normalize(ijk)
-    digit = np.full(n.shape[0], INVALID_DIGIT, dtype=np.uint64)
-    for d in range(7):
-        m = (n == UNIT_VECS[d]).all(axis=-1)
-        digit[m] = d
+    digit = (n[..., 0] * 4 + n[..., 1] * 2 + n[..., 2]).astype(np.uint64)
+    bad = n.max(axis=-1) > 1
+    if bad.any():
+        digit[bad] = INVALID_DIGIT
     return digit
 
 

@@ -120,10 +120,24 @@ def polygon_to_cells(
     allpts = np.vstack(rings)
     minx, miny = allpts.min(axis=0)
     maxx, maxy = allpts.max(axis=0)
+    # antimeridian-crossing polygons (reference fixed transmeridian handling
+    # in 0.20.1, h3ronpy/CHANGES.rst): work in a shifted frame where
+    # negative longitudes map to lng+360, so the ring is contiguous
+    shifted = (maxx - minx) > 180.0
+    if shifted:
+        rings = [
+            np.stack([np.where(r[:, 0] < 0, r[:, 0] + 360.0, r[:, 0]), r[:, 1]], axis=1)
+            for r in rings
+        ]
+        allpts = np.vstack(rings)
+        minx, miny = allpts.min(axis=0)
+        maxx, maxy = allpts.max(axis=0)
     cand = _bbox_cover_cells(minx, miny, maxx, maxy, res)
     if len(cand) == 0:
         return cand
     clat, clng = cell_to_latlng(cand)
+    if shifted:
+        clng = np.where(clng < 0, clng + 360.0, clng)
     centroid_in = points_in_rings(clng, clat, rings)
 
     if mode == "containscentroid":
@@ -131,6 +145,8 @@ def polygon_to_cells(
 
     # boundary-aware modes need the cell boundary vertices
     blat, blng, off = cell_boundary(cand)
+    if shifted:
+        blng = np.where(blng < 0, blng + 360.0, blng)
     counts = np.diff(off)
     cell_idx = np.repeat(np.arange(len(cand)), counts)
     vert_in = points_in_rings(blng, blat, rings)

@@ -443,9 +443,34 @@ def grid_disk_distances(origins: np.ndarray, k: int):
             np.concatenate(dist_all),
         )
 
+    # chunk origins so (row, cell) packs losslessly into one uint64:
+    # at uniform resolution the mode/reserved/res bits are constant, so a
+    # cell's identity is its low 52 bits (base cell + digits); 12 bits
+    # remain for the origin row within a chunk.
+    CHUNK = 4096
+    if n > CHUNK:
+        rows_all, cells_all, dist_all = [], [], []
+        for s in range(0, n, CHUNK):
+            rr, cc, dd = grid_disk_distances(origins[s : s + CHUNK], k)
+            rows_all.append(rr + s)
+            cells_all.append(cc)
+            dist_all.append(dd)
+        return (
+            np.concatenate(rows_all),
+            np.concatenate(cells_all),
+            np.concatenate(dist_all),
+        )
+
+    res_bits = origins[0] >> np.uint64(52)  # constant high bits
+    low_mask = np.uint64((1 << 52) - 1)
+
+    def pack(rows, cells):
+        return (rows.astype(np.uint64) << np.uint64(52)) | (cells & low_mask)
+
     seen_row = np.arange(n, dtype=np.int64)
     seen_cell = origins.copy()
     seen_dist = np.zeros(n, dtype=np.int64)
+    seen_keys = np.sort(pack(seen_row, seen_cell))
     frontier_row = seen_row
     frontier_cell = seen_cell
     for step in range(1, k + 1):
@@ -458,18 +483,24 @@ def grid_disk_distances(origins: np.ndarray, k: int):
         nbr, _, err = neighbor_rotations(cells, dirs)
         ok = err == 0
         rows, nbr = rows[ok], nbr[ok]
-        # drop already-seen (origin_row, cell) pairs
-        combo = np.stack([rows.astype(np.uint64), nbr], axis=1)
-        combo_seen = np.stack([seen_row.astype(np.uint64), seen_cell], axis=1)
-        allc = np.concatenate([combo_seen, combo])
-        _, first_idx = np.unique(allc, axis=0, return_index=True)
-        new_mask = first_idx >= len(combo_seen)
-        new_idx = first_idx[new_mask] - len(combo_seen)
-        new_rows = rows[new_idx]
-        new_cells = nbr[new_idx]
+        keys = pack(rows, nbr)
+        order = np.argsort(keys)
+        keys = keys[order]
+        rows = rows[order]
+        nbr = nbr[order]
+        first = np.r_[True, keys[1:] != keys[:-1]]
+        keys, rows, nbr = keys[first], rows[first], nbr[first]
+        # drop already-seen keys (both arrays sorted)
+        pos = np.searchsorted(seen_keys, keys)
+        pos_c = np.clip(pos, 0, len(seen_keys) - 1)
+        new = seen_keys[pos_c] != keys
+        new_rows, new_cells, new_keys = rows[new], nbr[new], keys[new]
         seen_row = np.concatenate([seen_row, new_rows])
         seen_cell = np.concatenate([seen_cell, new_cells])
-        seen_dist = np.concatenate([seen_dist, np.full(len(new_rows), step, dtype=np.int64)])
+        seen_dist = np.concatenate(
+            [seen_dist, np.full(len(new_rows), step, dtype=np.int64)]
+        )
+        seen_keys = np.sort(np.concatenate([seen_keys, new_keys]))
         frontier_row = new_rows
         frontier_cell = new_cells
     order = np.argsort(seen_row, kind="stable")

@@ -333,3 +333,34 @@ def directededges_parse(strings, set_failing_to_invalid: bool = False):
     if not set_failing_to_invalid and not ok.all():
         raise ValueError("non-parsable DirectedEdgeIndex")
     return vals, ok
+
+
+class PolyfillActor:
+    """Actor-pool polyfill stage for skewed geometry workloads:
+
+        ds.map_batches(PolyfillActor,
+                       fn_constructor_kwargs={"resolution": 9},
+                       concurrency=N, batch_size=64)
+
+    Per-geometry cost varies by orders of magnitude (a continent vs a
+    parcel), so small batches + an actor pool keep stragglers bounded; any
+    per-worker setup (mode tables, scratch buffers) happens once here."""
+
+    def __init__(self, resolution: int = 9, containment_mode: str = "containscentroid",
+                 compact: bool = False, geometry_col: str = "geometry",
+                 cell_col: str = "cell"):
+        self.resolution = resolution
+        self.containment_mode = containment_mode
+        self.compact = compact
+        self.geometry_col = geometry_col
+        self.cell_col = cell_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return wkb_to_cells_kernel(
+            batch,
+            geometry_col=self.geometry_col,
+            resolution=self.resolution,
+            containment_mode=self.containment_mode,
+            compact=self.compact,
+            cell_col=self.cell_col,
+        )

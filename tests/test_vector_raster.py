@@ -209,3 +209,44 @@ class TestRaster:
             raster.raster_to_cells(
                 np.zeros((10, 10)), raster.Transform(1e5, 0, 0, 0, -1e5, 0), 5
             )
+
+
+def test_antimeridian_polyfill():
+    ring = np.array(
+        [[170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0], [170.0, 10.0], [170.0, -10.0]]
+    )
+    whole = polyfill.polygon_to_cells({"type": "Polygon", "rings": [ring]}, 4)
+    east = polyfill.polygon_to_cells(
+        {"type": "Polygon", "rings": [np.array(
+            [[170.0, -10], [180.0, -10], [180.0, 10], [170.0, 10], [170.0, -10]])]}, 4
+    )
+    west = polyfill.polygon_to_cells(
+        {"type": "Polygon", "rings": [np.array(
+            [[-180.0, -10], [-170.0, -10], [-170.0, 10], [-180.0, 10], [-180.0, -10]])]}, 4
+    )
+    assert np.array_equal(whole, np.union1d(east, west))
+
+
+def test_polyfill_actor(ray_session):
+    import ray
+
+    t = pa.table(
+        {
+            "id": pa.array([1]),
+            "geometry": pa.array(
+                [wkb.dumps_polygon([RECT["rings"][0]])], type=pa.large_binary()
+            ),
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            vector.PolyfillActor,
+            fn_constructor_kwargs={"resolution": 7},
+            concurrency=1,
+            batch_size=16,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    assert len(out) == len(polyfill.polygon_to_cells(RECT, 7))
