@@ -1,0 +1,83 @@
+"""Pandas convenience wrappers (parity with h3ronpy.pandas.vector/raster).
+
+geopandas/shapely are unavailable in this environment, so geometry columns
+are WKB ``bytes`` (readable by geopandas.GeoSeries.from_wkb downstream);
+semantics otherwise mirror the reference wrappers
+(h3ronpy/python/h3ronpy/pandas/vector.py:51-135, pandas/raster.py:16-65).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import vector
+from .h3core import polyfill, wkb
+
+
+def dataframe_to_cells(
+    df: pd.DataFrame,
+    geometry_column: str = "geometry",
+    resolution: int = 9,
+    containment_mode: str = "containscentroid",
+    compact: bool = False,
+    cell_column_name: str = "cell",
+) -> pd.DataFrame:
+    """WKB-geometry dataframe -> one row per produced cell, all other
+    columns repeated (the reference's geodataframe_to_cells explode)."""
+    rows, cells = vector.wkb_to_cells(
+        list(df[geometry_column]), resolution, containment_mode, compact
+    )
+    out = df.drop(columns=[geometry_column]).iloc[rows].reset_index(drop=True)
+    out[cell_column_name] = cells
+    return out
+
+
+def series_to_cells(
+    s: pd.Series, resolution: int = 9, containment_mode: str = "containscentroid",
+    compact: bool = False,
+) -> pd.Series:
+    """WKB series -> series of cell-list arrays (geoseries_to_cells)."""
+    out = []
+    for item in s:
+        if item is None:
+            out.append(np.empty(0, dtype=np.uint64))
+            continue
+        geom = wkb.loads(item)
+        out.append(polyfill.geometry_to_cells(geom, resolution, containment_mode, compact))
+    return pd.Series(out, index=s.index)
+
+
+def cells_dataframe_to_wkb(
+    df: pd.DataFrame, cell_column_name: str = "cell",
+    geometry_column: str = "geometry",
+) -> pd.DataFrame:
+    """Attach a WKB polygon column for the cell column
+    (cells_dataframe_to_geodataframe without the geopandas dependency)."""
+    cells = df[cell_column_name].to_numpy().astype(np.uint64)
+    polys = vector.cells_to_wkb_polygons(cells)
+    out = df.copy()
+    out[geometry_column] = [p.as_py() for p in polys]
+    return out
+
+
+def raster_to_dataframe(
+    in_raster: np.ndarray,
+    transform,
+    h3_resolution: int,
+    nodata_value=None,
+    compact: bool = False,
+    geo: bool = False,
+) -> pd.DataFrame:
+    """2D array -> DataFrame {value, cell}; geo=True adds WKB polygons
+    (reference pandas/raster.py:16-65)."""
+    from . import raster as raster_mod
+
+    t = raster_mod.raster_to_table(
+        in_raster, transform, h3_resolution, nodata_value, compact
+    )
+    df = t.to_pandas()
+    if geo:
+        df = cells_dataframe_to_wkb(df)
+    return df
