@@ -132,8 +132,10 @@ def cells_parse(
             )
             vals[rows] = cells
             ok[rows] = True
-    if not set_failing_to_invalid and not ok.all():
-        bad = [s for s, o in zip(strings, ok) if not o][:3]
+    # null inputs stay null without raising (reference null semantics)
+    nulls = np.array([s is None for s in strings], dtype=bool)
+    if not set_failing_to_invalid and not (ok | nulls).all():
+        bad = [s for s, o in zip(strings, ok) if not o and s is not None][:3]
         raise ValueError(f"non-parsable CellIndex: {bad}")
     out = pa.array(vals, mask=~ok)
     if cell_col in batch.column_names:

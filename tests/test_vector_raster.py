@@ -250,3 +250,20 @@ def test_polyfill_actor(ray_session):
         .take_all()
     )
     assert len(out) == len(polyfill.polygon_to_cells(RECT, 7))
+
+
+def test_cells_parse_kernel():
+    # reference: test_utf8.py:9-41 — hex, coordinate form "lng,lat,res",
+    # nulls preserved, garbage raises unless set_failing_to_invalid
+    from h3ray import kernels
+
+    t = pa.table({"s": pa.array(["851f9923fffffff", None, "10.2, 45.5, 5"])})
+    out = kernels.cells_parse(t, "s")
+    assert out.column("cell").null_count == 1
+    assert out.column("cell")[0].as_py() == out.column("cell")[2].as_py()
+    with pytest.raises(ValueError, match="non-parsable"):
+        kernels.cells_parse(pa.table({"s": pa.array(["nope"])}), "s")
+    masked = kernels.cells_parse(
+        pa.table({"s": pa.array(["nope"])}), "s", set_failing_to_invalid=True
+    )
+    assert masked.column("cell").null_count == 1
