@@ -214,13 +214,16 @@ def make_tile_kernel(h3_resolution: int, nodata_value=None, compact: bool = Fals
     def kernel(batch: pa.Table) -> pa.Table:
         vs = []
         cs = []
+        hcol = "h" if "h" in batch.column_names else "height"
+        wcol = "w" if "w" in batch.column_names else "width"
+        pcol = "payload" if "payload" in batch.column_names else "values"
         for i in range(batch.num_rows):
             t = Transform(*[float(x) for x in batch.column("transform")[i].as_py()])
-            h = batch.column("h")[i].as_py()
-            w = batch.column("w")[i].as_py()
+            h = batch.column(hcol)[i].as_py()
+            w = batch.column(wcol)[i].as_py()
             dtype = batch.column("dtype")[i].as_py()
             arr = np.frombuffer(
-                batch.column("payload")[i].as_py(), dtype=np.dtype(dtype)
+                batch.column(pcol)[i].as_py(), dtype=np.dtype(dtype)
             ).reshape(h, w)
             v, c = raster_to_cells(arr, t, h3_resolution, nodata_value, compact)
             vs.append(v)
