@@ -279,20 +279,22 @@ _HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
 
 
 def to_hex_strings(h: np.ndarray) -> np.ndarray:
-    """uint64 -> lowercase hex strings without leading zeros (H3 format)."""
+    """uint64 -> lowercase hex strings without leading zeros (H3 format).
+
+    Valid indexes always have their top nibble zero (bit 63 clear, modes
+    1/2/4 in bits 59-62), so the fast path emits fixed 15-char strings in
+    one vectorized pass; other values fall back to per-row formatting."""
     h = _u64(h)
     n = h.shape[0]
-    # 16 nibbles, most significant first
-    nibbles = np.empty((n, 16), dtype=np.uint8)
-    for k in range(16):
-        nibbles[:, k] = ((h >> _U(4 * (15 - k))) & _U(0xF)).astype(np.uint8)
-    chars = _HEX_DIGITS[nibbles]
-    # leading zero count per row
-    nz = nibbles != 0
-    first = np.where(nz.any(axis=1), nz.argmax(axis=1), 15)
-    return np.array(
-        ["".join(map(chr, chars[i, first[i]:])) for i in range(n)], dtype=object
-    )
+    if n and ((h >> _U(60)) == 0).all() and (h >> _U(56) != 0).all():
+        chars = np.empty((n, 15), dtype=np.uint8)
+        for k in range(15):
+            chars[:, k] = _HEX_DIGITS[
+                ((h >> _U(4 * (14 - k))) & _U(0xF)).astype(np.uint8)
+            ]
+        flat = chars.tobytes().decode("ascii")
+        return np.array([flat[i * 15 : (i + 1) * 15] for i in range(n)], dtype=object)
+    return np.array([format(int(x), "x") for x in h], dtype=object)
 
 
 def parse_hex_strings(strings) -> tuple[np.ndarray, np.ndarray]:
