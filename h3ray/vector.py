@@ -364,3 +364,111 @@ class PolyfillActor:
             compact=self.compact,
             cell_col=self.cell_col,
         )
+
+
+# --- distributed dissolve ----------------------------------------------------
+
+
+def _boundary_segments(cells: np.ndarray):
+    """Directed boundary segments of a cell set with shared (opposite
+    direction) segments cancelled.  Returns {(a, b): None}-style dict of
+    1e7-quantized (lat, lng) endpoint pairs."""
+    lat, lng, off = boundary.cell_boundary(cells)
+    segs = {}
+    for i in range(len(cells)):
+        ring_lat = lat[off[i]:off[i + 1]]
+        ring_lng = lng[off[i]:off[i + 1]]
+        m = len(ring_lat)
+        for v in range(m):
+            a = (round(ring_lat[v] * 1e7), round(ring_lng[v] * 1e7))
+            b = (
+                round(ring_lat[(v + 1) % m] * 1e7),
+                round(ring_lng[(v + 1) % m] * 1e7),
+            )
+            if (b, a) in segs:
+                del segs[(b, a)]
+            else:
+                segs[(a, b)] = True
+    return segs
+
+
+def _cancel_segments(seg_table: pa.Table):
+    segs = {}
+    al = seg_table.column("a_lat").to_pylist()
+    ag = seg_table.column("a_lng").to_pylist()
+    bl = seg_table.column("b_lat").to_pylist()
+    bg = seg_table.column("b_lng").to_pylist()
+    for i in range(len(al)):
+        a = (al[i], ag[i])
+        b = (bl[i], bg[i])
+        if (b, a) in segs:
+            del segs[(b, a)]
+        else:
+            segs[(a, b)] = True
+    return segs
+
+
+def _stitch_rings(segs) -> list[np.ndarray]:
+    nxt = {a: b for (a, b) in segs}
+    rings = []
+    while nxt:
+        start, cur = next(iter(nxt.items()))
+        ring = [start]
+        del nxt[start]
+        while cur != start and cur in nxt:
+            ring.append(cur)
+            cur = nxt.pop(cur)
+        ring.append(start)
+        rings.append(
+            np.array([[p[1] / 1e7, p[0] / 1e7] for p in ring], dtype=np.float64)
+        )
+    return rings
+
+
+def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
+    """Distributed link_cells dissolve: cells group by their res-``parent_res``
+    ancestor; each group cancels its interior shared edges in parallel; the
+    surviving directed segments (including group-border seams, which appear
+    once per side in opposite directions) cancel again in a final bounded
+    pass and stitch into merged rings.
+
+    Segment cancellation is associative, so the result equals a
+    single-process dissolve exactly.  Returns the merged MultiPolygon WKB.
+    """
+    from .h3core import bits as bits_mod
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        cells = np.unique(cells)
+        res = bits_mod.get_resolution(cells).astype(np.int64)
+        pr = np.minimum(res, parent_res).astype(np.uint64)
+        parent = bits_mod.cell_to_parent(cells, pr)
+        return pa.table({"parent": pa.array(parent), cell_col: pa.array(cells)})
+
+    def group_segments(batch: pa.Table) -> pa.Table:
+        cells = np.unique(
+            batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        segs = _boundary_segments(cells)
+        a = np.array([k[0] for k in segs], dtype=np.int64).reshape(-1, 2) if segs else np.zeros((0, 2), np.int64)
+        b = np.array([k[1] for k in segs], dtype=np.int64).reshape(-1, 2) if segs else np.zeros((0, 2), np.int64)
+        return pa.table(
+            {
+                "a_lat": pa.array(a[:, 0]),
+                "a_lng": pa.array(a[:, 1]),
+                "b_lat": pa.array(b[:, 0]),
+                "b_lng": pa.array(b[:, 1]),
+            }
+        )
+
+    import ray
+
+    seg_ds = (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("parent")
+        .map_groups(group_segments, batch_format="pyarrow")
+    )
+    tables = ray.get(seg_ds.to_arrow_refs())
+    seg_table = pa.concat_tables([t for t in tables if t.num_rows])
+    rings = _stitch_rings(_cancel_segments(seg_table))
+    return wkb.dumps_multipolygon([[r] for r in rings])

@@ -235,3 +235,25 @@ def test_shuffle_join_equals_broadcast(ray_session):
     ).take_all()
     got = sorted((r["point_id"], r["rect_id"]) for r in out)
     assert got == ref_pairs
+
+
+def test_distributed_dissolve_equals_local(ray_session):
+    import ray
+
+    from h3ray import vector
+    from h3ray.h3core import faceijk, traversal, wkb
+
+    c = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 6)
+    _, disk, _ = traversal.grid_disk_distances(c, 4)
+    single = wkb.loads(vector.cells_to_wkb_polygons(disk, link_cells=True)[0].as_py())
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(disk)})).repartition(4)
+    dist = wkb.loads(vector.dissolve_cells_dataset(ds, parent_res=4))
+
+    def ringset(g):
+        out = set()
+        for p in g["parts"]:
+            for r in p["rings"]:
+                out.add(tuple(sorted(map(tuple, np.round(r, 6).tolist()))))
+        return out
+
+    assert ringset(single) == ringset(dist)
