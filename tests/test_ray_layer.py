@@ -257,3 +257,46 @@ def test_distributed_dissolve_equals_local(ray_session):
         return out
 
     assert ringset(single) == ringset(dist)
+
+
+def test_salted_join_under_skew(ray_session):
+    """80% of points concentrate in 3 hot boxes; the salted shuffle join
+    must still match the broadcast join exactly."""
+    import ray
+
+    from h3ray import fixtures, join as join_mod, kernels
+    from h3ray import corpus
+
+    docs = fixtures.skewed_documents_table(1500)
+    geo = corpus.extract_geo_spans(docs)
+    parsed = kernels.cells_parse(geo, "geo_text")
+    parsed = kernels.cells_to_coordinates(parsed)
+    pts = pa.table(
+        {
+            "point_id": pa.array(
+                [int(d) for d in parsed.column("doc_id").to_pylist()],
+                type=pa.int64(),
+            ),
+            "lat": parsed.column("lat"),
+            "lng": parsed.column("lng"),
+        }
+    )
+    # rects over the hot boxes plus one cold rect
+    boxes = fixtures.HOT_BOXES + [(-10.0, -10.0, 10.0, 10.0)]
+    nk = np.arange(len(boxes), dtype=np.int64)
+    lng0 = np.array([b[0] for b in boxes])
+    lat0 = np.array([b[1] for b in boxes])
+    lng1 = np.array([b[2] for b in boxes])
+    lat1 = np.array([b[3] for b in boxes])
+    lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=5)
+    ref = join_mod.make_pip_refine_kernel(lookup, id_cols=("point_id",))(pts)
+    ref_pairs = sorted(
+        zip(ref.column("point_id").to_pylist(), ref.column("rect_id").to_pylist())
+    )
+    assert len(ref_pairs) > 500  # the skew actually hits the rects
+    out = join_mod.pip_join_shuffle(
+        ray.data.from_arrow(pts).repartition(4),
+        nk, lng0, lat0, lng1, lat1, res=5, salt=4,
+    ).take_all()
+    got = sorted((r["point_id"], r["rect_id"]) for r in out)
+    assert got == ref_pairs
