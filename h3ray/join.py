@@ -138,9 +138,11 @@ def make_pip_refine_kernel(
         )
         in_idx = in_idx[ok]
         rect_rows = rect_rows[ok]
-        out = batch.select(list(id_cols)).take(pa.array(in_idx))
-        out = out.append_column(rect_id_col, pa.array(lookup.rect_ids[rect_rows]))
-        out = out.append_column("cell", pa.array(cells[in_idx]))
+        out = batch.select(list(id_cols)).take(pa.array(in_idx, type=pa.int64()))
+        out = out.append_column(
+            rect_id_col, pa.array(np.asarray(lookup.rect_ids[rect_rows]))
+        )
+        out = out.append_column("cell", pa.array(cells[in_idx], type=pa.uint64()))
         return out
 
     return kernel

@@ -792,3 +792,35 @@ def q_pip_join_salted(sf_dir: str):
 
 QUERIES.update({"pip_join_salted": q_pip_join_salted})
 ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})
+
+
+def q_dissolve(sf_dir: str):
+    """Distributed link_cells dissolve of a polyfilled region: returns the
+    deterministic ring structure (n_rings, total vertex count)."""
+    from .. import vector as vector_mod
+    from ..h3core import polyfill as polyfill_mod
+    from ..h3core import wkb as wkb_mod
+
+    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+    j = 0
+    ring = np.array(
+        [
+            [lng0[j], lat0[j]], [lng1[j], lat0[j]], [lng1[j], lat1[j]],
+            [lng0[j], lat1[j]], [lng0[j], lat0[j]],
+        ]
+    )
+    cells = polyfill_mod.polygon_to_cells({"type": "Polygon", "rings": [ring]}, 4)
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells)})).repartition(4)
+    merged = vector_mod.dissolve_cells_dataset(ds, parent_res=2)
+    g = wkb_mod.loads(merged)
+    n_rings = sum(len(p["rings"]) for p in g["parts"])
+    n_verts = sum(len(r) for p in g["parts"] for r in p["rings"])
+    return pa.table(
+        {
+            "n_rings": pa.array([n_rings], type=pa.int64()),
+            "n_verts": pa.array([n_verts], type=pa.int64()),
+        }
+    )
+
+
+QUERIES.update({"dissolve": q_dissolve})
