@@ -135,15 +135,11 @@ class H3Dataset:
 
         return self._wrap(k)
 
+    def dissolve(self, parent_res: int = 3, cell_col: str = "cell"):
+        """Distributed link_cells dissolve; returns merged MultiPolygon WKB."""
+        return vector.dissolve_cells_dataset(self.dataset, parent_res, cell_col)
+
     # --- passthrough --------------------------------------------------------
     def __getattr__(self, name):
         # delegate everything else to the underlying Dataset
         return getattr(self.dataset, name)
-
-
-def _h3dataset_dissolve(self, parent_res: int = 3, cell_col: str = "cell"):
-    """Distributed link_cells dissolve; returns merged MultiPolygon WKB."""
-    return vector.dissolve_cells_dataset(self.dataset, parent_res, cell_col)
-
-
-H3Dataset.dissolve = _h3dataset_dissolve

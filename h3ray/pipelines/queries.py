@@ -801,12 +801,11 @@ def q_dissolve(sf_dir: str):
     from ..h3core import polyfill as polyfill_mod
     from ..h3core import wkb as wkb_mod
 
-    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
-    j = 0
+    _, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
     ring = np.array(
         [
-            [lng0[j], lat0[j]], [lng1[j], lat0[j]], [lng1[j], lat1[j]],
-            [lng0[j], lat1[j]], [lng0[j], lat0[j]],
+            [lng0[0], lat0[0]], [lng1[0], lat0[0]], [lng1[0], lat1[0]],
+            [lng0[0], lat1[0]], [lng0[0], lat0[0]],
         ]
     )
     cells = polyfill_mod.polygon_to_cells({"type": "Polygon", "rings": [ring]}, 4)

@@ -369,43 +369,45 @@ class PolyfillActor:
 # --- distributed dissolve ----------------------------------------------------
 
 
+def _pack_endpoints(lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    """Quantize (lat, lng) degrees to 1e-7 and pack into one uint64."""
+    la = np.round(lat * 1e7).astype(np.int64) + (1 << 31)
+    lo = np.round(lng * 1e7).astype(np.int64) + (1 << 31)
+    return (la.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+def _unpack_endpoint(p: int) -> tuple[int, int]:
+    return (int(p >> 32) - (1 << 31), int(p & 0xFFFFFFFF) - (1 << 31))
+
+
+def _cancel_packed(a: np.ndarray, b: np.ndarray):
+    """Drop directed segments whose reverse is also present (vectorized:
+    shared edges appear exactly twice with opposite direction, so the
+    undirected key occurs twice; boundary segments occur once)."""
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    order = np.lexsort((hi, lo))
+    lo_s, hi_s = lo[order], hi[order]
+    same_prev = np.r_[False, (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1])]
+    same_next = np.r_[same_prev[1:], False]
+    keep_sorted = ~(same_prev | same_next)
+    keep = np.zeros(len(a), dtype=bool)
+    keep[order] = keep_sorted
+    return a[keep], b[keep]
+
+
 def _boundary_segments(cells: np.ndarray):
     """Directed boundary segments of a cell set with shared (opposite
-    direction) segments cancelled.  Returns {(a, b): None}-style dict of
-    1e7-quantized (lat, lng) endpoint pairs."""
+    direction) segments cancelled; returns packed (a, b) uint64 arrays."""
     lat, lng, off = boundary.cell_boundary(cells)
-    segs = {}
-    for i in range(len(cells)):
-        ring_lat = lat[off[i]:off[i + 1]]
-        ring_lng = lng[off[i]:off[i + 1]]
-        m = len(ring_lat)
-        for v in range(m):
-            a = (round(ring_lat[v] * 1e7), round(ring_lng[v] * 1e7))
-            b = (
-                round(ring_lat[(v + 1) % m] * 1e7),
-                round(ring_lng[(v + 1) % m] * 1e7),
-            )
-            if (b, a) in segs:
-                del segs[(b, a)]
-            else:
-                segs[(a, b)] = True
-    return segs
-
-
-def _cancel_segments(seg_table: pa.Table):
-    segs = {}
-    al = seg_table.column("a_lat").to_pylist()
-    ag = seg_table.column("a_lng").to_pylist()
-    bl = seg_table.column("b_lat").to_pylist()
-    bg = seg_table.column("b_lng").to_pylist()
-    for i in range(len(al)):
-        a = (al[i], ag[i])
-        b = (bl[i], bg[i])
-        if (b, a) in segs:
-            del segs[(b, a)]
-        else:
-            segs[(a, b)] = True
-    return segs
+    pts = _pack_endpoints(lat, lng)
+    counts = np.diff(off)
+    nxt = np.arange(len(pts)) + 1
+    cell_idx = np.repeat(np.arange(len(cells)), counts)
+    ring_end = off[1:][cell_idx] - 1
+    at_end = np.arange(len(pts)) == ring_end
+    nxt = np.where(at_end, off[:-1][cell_idx], nxt)
+    return _cancel_packed(pts, pts[nxt])
 
 
 def _stitch_rings(segs) -> list[np.ndarray]:
@@ -419,8 +421,9 @@ def _stitch_rings(segs) -> list[np.ndarray]:
             ring.append(cur)
             cur = nxt.pop(cur)
         ring.append(start)
+        pts = [_unpack_endpoint(p) for p in ring]
         rings.append(
-            np.array([[p[1] / 1e7, p[0] / 1e7] for p in ring], dtype=np.float64)
+            np.array([[p[1] / 1e7, p[0] / 1e7] for p in pts], dtype=np.float64)
         )
     return rings
 
@@ -449,17 +452,8 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
         cells = np.unique(
             batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         )
-        segs = _boundary_segments(cells)
-        a = np.array([k[0] for k in segs], dtype=np.int64).reshape(-1, 2) if segs else np.zeros((0, 2), np.int64)
-        b = np.array([k[1] for k in segs], dtype=np.int64).reshape(-1, 2) if segs else np.zeros((0, 2), np.int64)
-        return pa.table(
-            {
-                "a_lat": pa.array(a[:, 0]),
-                "a_lng": pa.array(a[:, 1]),
-                "b_lat": pa.array(b[:, 0]),
-                "b_lng": pa.array(b[:, 1]),
-            }
-        )
+        a, b = _boundary_segments(cells)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     import ray
 
@@ -468,7 +462,12 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
         .groupby("parent")
         .map_groups(group_segments, batch_format="pyarrow")
     )
-    tables = ray.get(seg_ds.to_arrow_refs())
-    seg_table = pa.concat_tables([t for t in tables if t.num_rows])
-    rings = _stitch_rings(_cancel_segments(seg_table))
+    tables = [t for t in ray.get(seg_ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return wkb.dumps_multipolygon([])
+    seg_table = pa.concat_tables(tables)
+    a = seg_table.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+    b = seg_table.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+    a, b = _cancel_packed(a, b)
+    rings = _stitch_rings(list(zip(a.tolist(), b.tolist())))
     return wkb.dumps_multipolygon([[r] for r in rings])
