@@ -267,3 +267,13 @@ def test_cells_parse_kernel():
         pa.table({"s": pa.array(["nope"])}), "s", set_failing_to_invalid=True
     )
     assert masked.column("cell").null_count == 1
+
+
+def test_transform_cmp():
+    # reference: tests/test_transform.py
+    assert raster.Transform(1, 1, 0, 1, 0, 1) == raster.Transform(1, 1, 0, 1, 0, 1)
+    assert raster.Transform(1, 1, 0, 0, 0, 1) != raster.Transform(1, 1, 0, 1, 0, 1)
+    # GDAL ordering (c, a, b, f, d, e) and rasterio (a, b, c, d, e, f)
+    t = raster.Transform(0.1, 0.0, -10.0, 0.0, -0.1, 50.0)
+    assert raster.Transform.from_gdal((-10.0, 0.1, 0.0, 50.0, 0.0, -0.1)) == t
+    assert raster.Transform.from_rasterio((0.1, 0.0, -10.0, 0.0, -0.1, 50.0)) == t
