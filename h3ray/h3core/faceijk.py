@@ -468,18 +468,20 @@ def faceijk_to_cell(face, coord, res: int) -> np.ndarray:
         h = np.where(out_of_range | (bc == INVALID_BASE_CELL), bits.H3_NULL, h)
         return h
 
-    # build digits from finest to coarsest
+    # build digits from finest to coarsest.  The down-projection and the
+    # difference need no intermediate normalization: unit_ijk_to_digit
+    # canonicalizes, and equivalence classes are preserved by the linear maps
+    # (saves two full-array passes per level).
     c = coord.copy()
     for r in range(res - 1, -1, -1):
         last = c
         if is_class_iii(r + 1):
             c = ijk.up_ap7(c)
-            center = ijk.down_ap7(c)
+            center = c @ ijk._M_DOWN_AP7
         else:
             c = ijk.up_ap7r(c)
-            center = ijk.down_ap7r(c)
-        diff = ijk.normalize(last - center)
-        digit = ijk.unit_ijk_to_digit(diff)
+            center = c @ ijk._M_DOWN_AP7R
+        digit = ijk.unit_ijk_to_digit(last - center)
         h = bits.set_index_digit(h, r + 1, digit)
 
     out_of_range = (c > 2).any(axis=-1) | (c < 0).any(axis=-1)
