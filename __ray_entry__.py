@@ -19,35 +19,21 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship: interleaved docs -> geo spans -> cells -> PIP join."""
-    import numpy as np
-    import pyarrow as pa
+    """Flagship: interleaved docs -> geo spans -> cells -> PIP join, with the
+    span-sequence fingerprint (the per-row invariant) carried through."""
     import ray
 
-    from h3ray import corpus as corpus_mod
     from h3ray import join as join_mod
-    from h3ray import kernels
+    from h3ray.pipelines.flagship import make_kernel
     from h3ray.pipelines.queries import nation_rects
 
     nk, lng0, lat0, lng1, lat1 = nation_rects(SF_SMOKE)
     lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3)
-    lookup_ref = ray.put(lookup)
-
-    def pipeline(batch: pa.Table) -> pa.Table:
-        docs = corpus_mod.interleave_documents(batch)
-        docs = corpus_mod.spans_fingerprint(docs)
-        geo = corpus_mod.extract_geo_spans(docs)
-        parsed = kernels.cells_parse(geo, "geo_text")
-        parsed = kernels.cells_to_coordinates(parsed)
-        refine = join_mod.make_pip_refine_kernel(
-            lookup_ref, id_cols=("doc_id",), rect_id_col="rect_id"
-        )
-        joined = refine(parsed)
-        return joined
+    kernel = make_kernel(lookup)
 
     ds = ray.data.read_parquet(
         f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "source"]
-    ).map_batches(pipeline, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
     return ds
 
 

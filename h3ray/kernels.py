@@ -306,3 +306,53 @@ def resolution_stats(batch: pa.Table, res_col: str = "resolution") -> pa.Table:
     return batch.append_column(
         "cell_count", pa.array([int(x) for x in n_cells], type=pa.int64())
     )
+
+
+def grid_disk_list(
+    batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "disk",
+) -> pa.Table:
+    """Non-flattened grid_disk: one large_list<u64> per input row, positions
+    preserved (reference flatten=False form, h3ronpy/src/op/neighbor.rs:19-35)."""
+    cells = _u64(batch, cell_col)
+    rows, disk, dist = traversal.grid_disk_distances(cells, k)
+    order = np.argsort(rows, kind="stable")
+    rows_s = rows[order]
+    disk_s = disk[order]
+    counts = np.bincount(rows_s, minlength=len(cells))
+    offsets = np.zeros(len(cells) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk_s))
+    return _append_array(batch, out_col, lists)
+
+
+def grid_disk_distances_list(
+    batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME
+) -> pa.Table:
+    """Non-flattened grid_disk_distances: {cell: large_list<u64>,
+    k: large_list<u32>} per row (reference neighbor.rs:73-107)."""
+    cells = _u64(batch, cell_col)
+    rows, disk, dist = traversal.grid_disk_distances(cells, k)
+    order = np.argsort(rows, kind="stable")
+    rows_s = rows[order]
+    counts = np.bincount(rows_s, minlength=len(cells))
+    offsets = np.zeros(len(cells) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    batch = _append_array(
+        batch,
+        "disk",
+        pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk[order])),
+    )
+    return _append_array(
+        batch,
+        "k",
+        pa.LargeListArray.from_arrays(
+            pa.array(offsets), pa.array(dist[order].astype(np.uint32))
+        ),
+    )
+
+
+def _append_array(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
+    if name in batch.column_names:
+        batch = batch.drop_columns([name])
+    return batch.append_column(name, arr)
