@@ -19,12 +19,29 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ._strkern import utf8_view
+
 _FNV = np.uint64(0x100000001B3)
 _SEED = np.uint64(0x9E3779B97F4A7C15)
 
+# universal-hash permutation params, derived once at import (seed pinned so
+# signatures are bit-identical across runs / cluster sizes); per-k cache
+_MINHASH_PARAMS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    if k not in _MINHASH_PARAMS:
+        rng = np.random.default_rng(42)
+        a = rng.integers(1, 2**63, size=k, dtype=np.uint64) | np.uint64(1)
+        bvec = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+        _MINHASH_PARAMS[k] = (a, bvec)
+    return _MINHASH_PARAMS[k]
+
 
 def _hash_shingles(text: str, n: int = 5) -> np.ndarray:
-    """Character n-gram shingle hashes (u64, vectorized rolling)."""
+    """Character n-gram shingle hashes of one string (u64, vectorized
+    rolling).  Used by the per-pair ``jaccard`` verify stage; batch paths
+    use ``_shingles_flat``."""
     b = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < n:
         b = np.pad(b, (0, n - len(b)), constant_values=0)
@@ -36,23 +53,115 @@ def _hash_shingles(text: str, n: int = 5) -> np.ndarray:
     return np.unique(out)
 
 
+def _shingles_flat(col, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """All documents' n-gram shingle hashes in one flat array + per-doc
+    offsets: `n` multiply-xor passes over the batch's flat UTF-8 buffer,
+    window validity by boundary scatter (no per-row Python).  Documents
+    shorter than n bytes hash their zero-padded bytes — same semantics as
+    the scalar `_hash_shingles` (one shingle each)."""
+    data, off = utf8_view(col)
+    ndoc = len(off) - 1
+    lens = np.diff(off)
+    short = lens < n
+    total = len(data)
+    m = max(total - n + 1, 0)
+    with np.errstate(over="ignore"):
+        H = np.zeros(m, dtype=np.uint64)
+        if m:
+            bu = data.astype(np.uint64)
+            for k in range(n):
+                H *= _FNV
+                H ^= bu[k : k + m]
+        valid = np.ones(m, dtype=bool)
+        for k in range(1, n):
+            edge = off[1:] - k
+            edge = edge[(edge >= 0) & (edge < m)]
+            valid[edge] = False
+        if short.any():
+            sidx = np.nonzero(short)[0]
+            s_lens = lens[sidx]
+            spos = np.repeat(off[:-1][sidx], s_lens) + (
+                np.arange(int(s_lens.sum()))
+                - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+            )
+            spos = spos[spos < m]
+            valid[spos] = False
+        wcounts = np.maximum(lens - (n - 1), 0)
+        wcounts[short] = 0
+        flat = H[valid]
+        # short docs: zero-padded single shingle, computed on a (ns, n) pad
+        # matrix in one vectorized pass
+        if short.any():
+            padded = np.zeros((len(sidx), n), dtype=np.uint64)
+            rows = np.repeat(np.arange(len(sidx)), s_lens)
+            cols = np.arange(int(s_lens.sum())) - np.repeat(
+                np.cumsum(s_lens) - s_lens, s_lens
+            )
+            pos = np.repeat(off[:-1][sidx], s_lens) + cols
+            padded[rows, cols] = data[pos]
+            hshort = np.zeros(len(sidx), dtype=np.uint64)
+            for k in range(n):
+                hshort = (hshort * _FNV) ^ padded[:, k]
+            # splice short-doc shingles into flat order (docs are in order,
+            # shorts each contribute exactly one shingle)
+            counts = wcounts.copy()
+            counts[sidx] = 1
+            out_off = np.zeros(ndoc + 1, dtype=np.int64)
+            np.cumsum(counts, out=out_off[1:])
+            out = np.empty(int(out_off[-1]), dtype=np.uint64)
+            long_pos = np.repeat(out_off[:-1], wcounts) + (
+                np.arange(len(flat))
+                - np.repeat(np.cumsum(wcounts) - wcounts, wcounts)
+            )
+            out[long_pos] = flat
+            out[out_off[:-1][sidx]] = hshort
+            return out, out_off
+    out_off = np.zeros(ndoc + 1, dtype=np.int64)
+    np.cumsum(wcounts, out=out_off[1:])
+    return flat, out_off
+
+
 def _minhash(shingles: np.ndarray, k: int = 64) -> np.ndarray:
     """k min-hashes via k universal-hash permutations h_i(x) = a_i*x + b_i."""
-    rng = np.random.default_rng(42)
-    a = rng.integers(1, 2**63, size=k, dtype=np.uint64) | np.uint64(1)
-    bvec = rng.integers(0, 2**63, size=k, dtype=np.uint64)
+    a, bvec = _minhash_params(k)
     if len(shingles) == 0:
         return np.full(k, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
-    vals = shingles[None, :] * a[:, None] + bvec[:, None]
-    return vals.min(axis=1)
+    with np.errstate(over="ignore"):
+        vals = shingles[None, :] * a[:, None] + bvec[:, None]
+        return vals.min(axis=1)
 
 
 def minhash_signatures(batch: pa.Table, text_col: str = "text", k: int = 64,
                        shingle: int = 5) -> pa.Table:
-    texts = batch.column(text_col).combine_chunks().to_pylist()
-    sigs = np.stack([_minhash(_hash_shingles(t, shingle), k) for t in texts])
+    """k×doc minhash signature matrix: flat shingles for the whole batch,
+    then one multiply-add + segmented-min pass per hash function (u64 wrap;
+    `np.minimum.reduceat` is the fast primitive on this box).  Bit-identical
+    to the scalar reference (duplicate shingles cannot change a min)."""
+    flat, off = _shingles_flat(batch.column(text_col), shingle)
+    n = len(batch)
+    if n == 0:
+        return batch.append_column(
+            "minhash",
+            pa.FixedSizeListArray.from_arrays(pa.array([], type=pa.uint64()), k),
+        )
+    a, bvec = _minhash_params(k)
+    sigs = np.empty((n, k), dtype=np.uint64)
+    starts = off[:-1]
+    nonempty = np.diff(off) > 0  # never false in practice (pad semantics)
+    tmp = np.empty(len(flat), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            np.multiply(flat, a[i], out=tmp)
+            tmp += bvec[i]
+            if nonempty.all():
+                sigs[:, i] = np.minimum.reduceat(tmp, starts)
+            else:
+                col = np.full(n, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+                col[nonempty] = np.minimum.reduceat(tmp, starts[nonempty])
+                sigs[:, i] = col
     return batch.append_column(
-        "minhash", pa.array(list(sigs), type=pa.list_(pa.uint64(), k))
+        "minhash",
+        pa.FixedSizeListArray.from_arrays(pa.array(sigs.reshape(-1)), k),
     )
 
 
@@ -126,26 +235,48 @@ def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
 
 
 def simhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over token hashes (bit-vote)."""
-    texts = batch.column(text_col).combine_chunks().to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        tokens = (t or "").lower().split()
-        if not tokens:
-            continue
-        hs = np.zeros(len(tokens), dtype=np.uint64)
-        for j, tok in enumerate(tokens):
-            h = np.uint64(0xCBF29CE484222325)
-            for byte in tok.encode("utf-8", "ignore"):
-                h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
-            hs[j] = h
-        bits_mat = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        votes = (2 * bits_mat.astype(np.int64) - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for bit in range(64):
-            if votes[bit] > 0:
-                sig |= np.uint64(1) << np.uint64(bit)
-        out[i] = sig
+    """64-bit SimHash over token hashes (bit-vote), fully vectorized:
+    Arrow lower+split for tokens, jagged FNV-1a over the flat token buffer,
+    unpackbits -> segmented bit-vote (add.reduceat) -> packbits.  Values are
+    bit-identical to the scalar per-token reference kernel."""
+    import pyarrow.compute as pc
+
+    from ._strkern import fnv1a_segments, list_offsets, split_tokens
+
+    n = len(batch)
+    toks = split_tokens(pc.utf8_lower(batch.column(text_col)))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    tdata, toff = utf8_view(flat)
+    tlens = np.diff(toff)
+    hs = fnv1a_segments(tdata, toff)
+    # drop the single '' token an empty/whitespace-only doc produces (the
+    # scalar kernel has no tokens there -> sig 0)
+    keep = tlens > 0
+    doc_off = list_offsets(toks)
+    tok_counts = np.diff(doc_off)
+    if not keep.all():
+        drop_doc = np.repeat(np.arange(n), tok_counts)[~keep]
+        tok_counts = tok_counts - np.bincount(drop_doc, minlength=n)
+        hs = hs[keep]
+    doc_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tok_counts, out=doc_off[1:])
+    # per-bit segmented ones-count: two in-place passes + one 1-D reduceat
+    # per bit (2-D reduceat / a (ntok, 64) bit matrix are pathologically
+    # slow on this box — measured 50x worse)
+    nonempty = tok_counts > 0
+    starts_ne = doc_off[:-1][nonempty]
+    ones = np.zeros((n, 64), dtype=np.int64)
+    if len(hs) and nonempty.any():
+        tmp = np.empty(len(hs), dtype=np.uint64)
+        for j in range(64):
+            np.right_shift(hs, np.uint64(j), out=tmp)
+            np.bitwise_and(tmp, np.uint64(1), out=tmp)
+            ones[nonempty, j] = np.add.reduceat(tmp, starts_ne).astype(np.int64)
+    votes = 2 * ones - tok_counts[:, None]
+    sig_bits = (votes > 0) & nonempty[:, None]
+    out = np.packbits(sig_bits, axis=1, bitorder="little").view(np.uint64).reshape(n)
     return batch.append_column("simhash", pa.array(out))
 
 

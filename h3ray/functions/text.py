@@ -1,20 +1,39 @@
 """Text analysis kernels for large-scale training-data pipelines.
 
-All functions are pa.Table -> pa.Table batch kernels (vectorized via
-pyarrow.compute / numpy; compiled regexes built once at module import, so a
-map_batches task pays setup once per worker process).
+All functions are pa.Table -> pa.Table batch kernels.  Every hot path is
+vectorized over the flat UTF-8 buffer of the string column (see
+``_strkern``): byte/char classification, token counting, language scoring
+and fingerprinting run as numpy / pyarrow.compute passes with no per-row
+Python, so a map_batches stage is memory-bandwidth-bound, not
+interpreter-bound.  Output values are bit-identical to the original
+per-row reference kernels (pinned by tests/test_ray_layer.py).
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# BPE-ish pretokenizer: words with leading space, numbers, punctuation runs
-_TOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+")
+from ._strkern import (
+    FNV_OFFSET,
+    FNV_PRIME,
+    char_classes,
+    codepoints,
+    fnv1a_segments,
+    list_offsets,
+    split_tokens,
+    utf8_view,
+)
+
+# BPE-ish pretokenizer: words with leading space, numbers, punctuation runs.
+# RE2-compatible (used via pc.count_substring_regex — no Python regex loop).
+# RE2's \s is ASCII-only, so the whitespace class is generated from Python's
+# own str.isspace set to keep token counts identical to the re module.
+_WS_CLASS = "".join(
+    "\\x{%x}" % c for c in range(0x10000) if chr(c).isspace()
+)
+_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^" + _WS_CLASS + r"A-Za-z0-9]+"
 
 # tiny stopword profiles for a crude n-gram language heuristic
 _LANG_PROFILES = {
@@ -23,56 +42,87 @@ _LANG_PROFILES = {
     "fr": {"le", "la", "et", "les", "des", "est", "pas", "une", "pour", "que"},
     "es": {"el", "la", "de", "que", "los", "una", "por", "con", "para", "las"},
 }
+_LANG_NAMES = list(_LANG_PROFILES)  # scoring order == dict order (ties -> first)
+
+
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace tokens, regex (BPE-ish) tokens, chars."""
     text = batch.column(text_col)
     ws = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
-    texts = text.combine_chunks().to_pylist()
-    bpe = np.array(
-        [len(_TOKEN_RE.findall(t)) if t else 0 for t in texts], dtype=np.int64
-    )
+    bpe = pc.count_substring_regex(text, _TOKEN_PATTERN)
     batch = batch.append_column("n_tokens_ws", ws.cast(pa.int64()))
-    batch = batch.append_column("n_tokens_re", pa.array(bpe))
+    batch = batch.append_column("n_tokens_re", bpe.cast(pa.int64()))
     return batch.append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
 
 
 def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-profile language guess (n-gram heuristic); 'und' when no
-    profile scores."""
-    texts = batch.column(text_col).combine_chunks().to_pylist()
-    langs = []
-    for t in texts:
-        words = (t or "").lower().split()[:300]
-        best, score = "und", 0
-        for lang, prof in _LANG_PROFILES.items():
-            s = sum(1 for w in words if w in prof)  # frequency-weighted
-            if s > score:
-                best, score = lang, s
-        langs.append(best if score >= 2 else "und")
+    """Stopword-profile language guess (n-gram heuristic); 'und' when the
+    best profile scores < 2 hits in the first 300 words."""
+    text = batch.column(text_col)
+    toks = pc.list_slice(split_tokens(pc.utf8_lower(text)), 0, 300)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = list_offsets(toks)
+    n = len(batch)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+    counts = np.zeros((n, len(_LANG_NAMES)), dtype=np.int64)
+    for li, lang in enumerate(_LANG_NAMES):
+        hits = pc.is_in(
+            flat, value_set=pa.array(sorted(_LANG_PROFILES[lang]))
+        ).to_numpy(zero_copy_only=False)
+        if hits.any():
+            counts[:, li] = np.bincount(doc_of[hits], minlength=n)
+    best = counts.argmax(axis=1)  # first max == dict-order strict-> semantics
+    bestc = counts.max(axis=1)
+    langs = np.where(bestc >= 2, np.array(_LANG_NAMES)[best], "und")
     return batch.append_column("lang_guess", pa.array(langs, type=pa.string()))
 
 
 def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features + a combined score in [0, 1]:
-    length, alpha ratio, punctuation ratio, mean word length."""
+    length, alpha ratio, punctuation ratio, mean word length.
+
+    One UTF-32 decode of the whole batch, then numpy char-class tables and
+    prefix sums — exact parity with per-character str.isalpha/isspace/
+    isalnum semantics (see _strkern.char_classes)."""
     text = batch.column(text_col)
+    n = len(batch)
     n_chars = pc.utf8_length(text).cast(pa.float64()).to_numpy(zero_copy_only=False)
-    texts = text.combine_chunks().to_pylist()
-    alpha = np.zeros(len(texts))
-    punct = np.zeros(len(texts))
-    mean_wl = np.zeros(len(texts))
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        n = len(t)
-        na = sum(c.isalpha() or c.isspace() for c in t)
-        npct = sum(not c.isalnum() and not c.isspace() for c in t)
-        words = t.split()
-        alpha[i] = na / n
-        punct[i] = npct / n
-        mean_wl[i] = np.mean([len(w) for w in words]) if words else 0.0
+    u32, char_off = codepoints(text)
+    is_alpha, is_space, is_alnum = char_classes(u32)
+    nonspace = ~is_space
+    # word starts: non-space char whose predecessor (within the same doc) is
+    # space or start-of-doc
+    prev_ns = np.zeros(len(u32), dtype=bool)
+    if len(u32):
+        prev_ns[1:] = nonspace[:-1]
+        prev_ns[char_off[:-1][char_off[:-1] < len(u32)]] = False
+    word_start = nonspace & ~prev_ns
+    # all four per-doc counts from ONE bincount over a (doc, class-combo)
+    # composite code — a single O(total_chars) counting pass
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(char_off))
+    combo = (
+        (is_alpha | is_space).astype(np.int64)
+        + ((~is_alnum) & nonspace) * 2
+        + word_start * 4
+        + nonspace * 8
+    )
+    cnt = np.bincount(doc_of * 16 + combo, minlength=n * 16).reshape(n, 16)
+    bits = np.arange(16)
+    na = (cnt * (bits & 1).astype(bool)).sum(axis=1).astype(np.float64)
+    npct = (cnt * (bits & 2).astype(bool)).sum(axis=1).astype(np.float64)
+    n_words = (cnt * (bits & 4).astype(bool)).sum(axis=1).astype(np.float64)
+    word_chars = (cnt * (bits & 8).astype(bool)).sum(axis=1).astype(np.float64)
+
+    nz = n_chars > 0
+    alpha = np.zeros(n)
+    punct = np.zeros(n)
+    alpha[nz] = na[nz] / n_chars[nz]
+    punct[nz] = npct[nz] / n_chars[nz]
+    mean_wl = np.divide(word_chars, n_words, out=np.zeros(n), where=n_words > 0)
     length_score = np.clip(n_chars / 500.0, 0.0, 1.0)
     wl_score = np.clip(1.0 - np.abs(mean_wl - 5.0) / 5.0, 0.0, 1.0)
     score = 0.35 * length_score + 0.35 * alpha + 0.15 * (1 - np.clip(punct * 4, 0, 1)) + 0.15 * wl_score
@@ -82,41 +132,124 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("quality", pa.array(score))
 
 
-def _rolling_hash_u64(s: str, window: int = 8) -> np.ndarray:
-    """Rolling (Rabin-Karp style) window hashes of a string."""
-    if not s or len(s) < window:
-        return np.array([hash_u64_str(s)], dtype=np.uint64)
-    b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
-    if len(b) < window:
-        return np.array([hash_u64_str(s)], dtype=np.uint64)
-    base = np.uint64(1099511628211)
-    pows = base ** np.arange(window, dtype=np.uint64)
-    # windows via strided sum of byte*pow
-    n = len(b) - window + 1
-    out = np.zeros(n, dtype=np.uint64)
-    for k in range(window):
-        out += b[k : k + n] * pows[window - 1 - k]
-    return out
-
-
 def hash_u64_str(s: str) -> np.uint64:
-    """FNV-1a 64-bit (deterministic across runs, unlike Python's hash)."""
+    """FNV-1a 64-bit of one string (deterministic across runs, unlike
+    Python's hash).  Scalar convenience; batches use ``hash_u64_batch``."""
     h = np.uint64(0xCBF29CE484222325)
     for byte in (s or "").encode("utf-8", "ignore"):
         h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
     return h
 
 
+def hash_u64_batch(col) -> np.ndarray:
+    """FNV-1a 64-bit per row of a string column — jagged-vectorized."""
+    data, off = utf8_view(col)
+    return fnv1a_segments(data, off)
+
+
 def document_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8,
                          keep: int = 4) -> pa.Table:
     """Winnowing-style fingerprint: the ``keep`` smallest rolling-window
-    hashes, combined into one u64 per document."""
-    texts = batch.column(text_col).combine_chunks().to_pylist()
-    fps = np.zeros(len(texts), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        hs = np.sort(_rolling_hash_u64(t or "", window))[:keep]
-        acc = np.uint64(0xCBF29CE484222325)
-        for h in hs:
-            acc = np.uint64((int(acc) ^ int(h)) * 0x100000001B3 % (1 << 64))
-        fps[i] = acc
+    (Rabin-Karp) hashes of each document, FNV-combined into one u64.
+
+    Vectorized: window hashes for the whole batch are ``window`` shifted
+    multiply-adds over the flat byte buffer; per-document top-``keep`` via
+    one lexsort; documents shorter than ``window`` *characters* fall back to
+    the whole-string FNV hash (same semantics as the scalar reference)."""
+    text = batch.column(text_col)
+    n = len(batch)
+    data, off = utf8_view(text)
+    charlens = pc.utf8_length(pc.fill_null(text, "")).to_numpy(zero_copy_only=False)
+    short = charlens < window  # includes empty docs
+
+    fps = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # fallback: single whole-string FNV hash, combined once
+        if short.any():
+            idx = np.nonzero(short)[0]
+            from ._strkern import gather_segments
+
+            sub_data, sub_off = gather_segments(data, off[:-1][idx], off[1:][idx])
+            h = fnv1a_segments(sub_data, sub_off)
+            fps[idx] = (FNV_OFFSET ^ h) * FNV_PRIME
+
+        # rolling windows over the flat buffer, masked to within-doc spans
+        long_mask = ~short
+        if long_mask.any():
+            base = np.uint64(1099511628211)
+            total = len(data)
+            m = total - window + 1
+            if m > 0:
+                # closed-form polynomial hash via modular prefix sums: since
+                # base is odd it is invertible mod 2^64, so
+                #   H(p) = base^(p+w-1) * sum_i b[i]*base^(-i), i in [p, p+w)
+                # — three cumulative passes instead of `window` shifted
+                # multiply-adds (the dominant cost on this DRAM-bound box).
+                inv = np.uint64(pow(1099511628211, -1, 1 << 64))
+                invp = np.full(total, inv, dtype=np.uint64)
+                invp[0] = np.uint64(1)
+                np.cumprod(invp, out=invp)  # invp[i] = base^-i
+                P = np.zeros(total + 1, dtype=np.uint64)
+                np.cumsum(data.astype(np.uint64) * invp, out=P[1:])
+                pw = np.full(m, base, dtype=np.uint64)
+                pw[0] = base ** np.uint64(window - 1)
+                np.cumprod(pw, out=pw)  # pw[p] = base^(p+w-1)
+                H = (P[window:] - P[:m]) * pw
+                # valid windows: start within a long doc and not within
+                # window-1 bytes of its end — scatter invalids directly
+                # (window-1 small scatters; no O(total) gather)
+                valid = np.ones(m, dtype=bool)
+                for k in range(1, window):
+                    edge = off[1:] - k
+                    edge = edge[(edge >= 0) & (edge < m)]
+                    valid[edge] = False
+                if short.any():
+                    sidx = np.nonzero(short)[0]
+                    s_lens = (off[1:] - off[:-1])[sidx]
+                    spos = np.repeat(off[:-1][sidx], s_lens) + (
+                        np.arange(int(s_lens.sum()))
+                        - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+                    )
+                    spos = spos[spos < m]
+                    valid[spos] = False
+                # windows per doc, in flat order == doc order
+                wcounts = np.maximum(np.diff(off) - (window - 1), 0)
+                wcounts[short] = 0
+                Hv = H[valid]
+                dv = np.repeat(np.arange(n, dtype=np.int64), wcounts)
+                # threshold prefilter: hashes are ~uniform, so the keep
+                # smallest of a doc's wc windows are (whp) below
+                # 8*keep/wc * 2^64; docs where the filter kept too few fall
+                # back to all their windows.  Shrinks the sort to ~10%.
+                wc = np.bincount(dv, minlength=n).astype(np.float64)
+                frac = np.minimum(1.0, 8.0 * keep / np.maximum(wc, 1.0))
+                # 1.8446e19 is just below 2^64 so the cast never overflows;
+                # any windows lost to the slightly-low cap are reclaimed by
+                # the `bad` full-doc fallback below.
+                thresh = (frac * 1.8446744073709549e19).astype(np.uint64)
+                keepmask = Hv < thresh[dv]
+                got = np.bincount(dv[keepmask], minlength=n)
+                bad = got < np.minimum(keep, wc.astype(np.int64))
+                if bad.any():
+                    keepmask |= bad[dv]
+                Hv, dv = Hv[keepmask], dv[keepmask]
+                order = np.lexsort((Hv, dv))
+                Hs, ds = Hv[order], dv[order]
+                # rank within doc group
+                grp_start = np.zeros(len(ds), dtype=np.int64)
+                new_grp = np.concatenate([[True], ds[1:] != ds[:-1]])
+                grp_start[new_grp] = np.nonzero(new_grp)[0]
+                grp_start = np.maximum.accumulate(grp_start)
+                rank = np.arange(len(ds)) - grp_start
+                sel = rank < keep
+                Hk, dk, rk = Hs[sel], ds[sel], rank[sel]
+                M = np.zeros((n, keep), dtype=np.uint64)
+                has = np.zeros((n, keep), dtype=bool)
+                M[dk, rk] = Hk
+                has[dk, rk] = True
+                acc = np.full(n, FNV_OFFSET, dtype=np.uint64)
+                for r in range(keep):
+                    mask = has[:, r]
+                    acc[mask] = (acc[mask] ^ M[mask, r]) * FNV_PRIME
+                fps[long_mask] = acc[long_mask]
     return batch.append_column("fingerprint", pa.array(fps))
