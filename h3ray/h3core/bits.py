@@ -297,6 +297,43 @@ def to_hex_strings(h: np.ndarray) -> np.ndarray:
     return np.array([format(int(x), "x") for x in h], dtype=object)
 
 
+_HEX_LUT = np.full(256, 255, dtype=np.uint8)
+for _c in b"0123456789":
+    _HEX_LUT[_c] = _c - ord("0")
+for _c in b"abcdef":
+    _HEX_LUT[_c] = _c - ord("a") + 10
+for _c in b"ABCDEF":
+    _HEX_LUT[_c] = _c - ord("A") + 10
+
+
+def parse_hex_u64(data: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Jagged hex parse: segment i is the byte range data[offsets[i]:offsets[i+1]].
+    Returns (values u64, ok mask).  ok requires 1..16 hex digits (callers
+    left-strip zeros / route odd forms to the scalar fallback).  Vectorized
+    position loop over the longest segment (<=16 iterations)."""
+    starts = offsets[:-1].astype(np.int64)
+    lens = np.diff(offsets).astype(np.int64)
+    n = len(lens)
+    vals = np.zeros(n, dtype=np.uint64)
+    ok = (lens >= 1) & (lens <= 16)
+    if not ok.any():
+        return vals, ok
+    digits_ok = np.ones(n, dtype=bool)
+    with np.errstate(over="ignore"):
+        maxlen = int(lens[ok].max())
+        for j in range(maxlen):
+            act = ok & (lens > j)
+            d = _HEX_LUT[data[starts[act] + j]]
+            bad = d == 255
+            if bad.any():
+                ai = np.nonzero(act)[0]
+                digits_ok[ai[bad]] = False
+            vals[act] = vals[act] * np.uint64(16) + d.astype(np.uint64)
+    ok &= digits_ok
+    vals[~ok] = 0
+    return vals, ok
+
+
 def parse_hex_strings(strings) -> tuple[np.ndarray, np.ndarray]:
     """Hex (or decimal) strings -> uint64; returns (values, ok_mask)."""
     out = np.zeros(len(strings), dtype=np.uint64)

@@ -34,7 +34,9 @@ def _u64(batch: pa.Table, name: str) -> np.ndarray:
 def _append(batch: pa.Table, name: str, arr) -> pa.Table:
     if name in batch.column_names:
         batch = batch.drop_columns([name])
-    return batch.append_column(name, pa.array(arr))
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr)
+    return batch.append_column(name, arr)
 
 
 # --- coordinates <-> cells --------------------------------------------------
@@ -99,43 +101,149 @@ def cells_to_string(batch: pa.Table, cell_col: str = DEFAULT_CELL_COLUMN_NAME) -
     return _append(batch, "cell_str", pa.array(s.tolist(), type=pa.large_string()))
 
 
+# number forms the vectorized coordinate path handles via Arrow cast; other
+# Python-float()-parsable spellings ("inf", "1_0", ...) go to the scalar
+# fallback so semantics match float()/int() exactly
+_FLOAT_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+_INT_RE = r"^[+-]?[0-9]+$"
+
+
 def cells_parse(
     batch: pa.Table, str_col: str, set_failing_to_invalid: bool = False,
     cell_col: str = DEFAULT_CELL_COLUMN_NAME,
 ) -> pa.Table:
     """Parse hex / decimal / "lng,lat,res" strings (reference:
-    crates/h3arrow/src/algorithm/string.rs:136-194)."""
-    strings = batch.column(str_col).combine_chunks().to_pylist()
-    vals, ok = bits.parse_hex_strings(strings)
+    crates/h3arrow/src/algorithm/string.rs:136-194).
+
+    Fully vectorized: jagged hex digits via bits.parse_hex_u64, the
+    coordinate form via Arrow split + cast; only rows using exotic Python
+    number spellings fall back to the scalar parser."""
+    col = batch.column(str_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    filled = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim_whitespace(filled)
+    vals = np.zeros(n, dtype=np.uint64)
+    ok = np.zeros(n, dtype=bool)
+
+    hexish = pc.match_substring_regex(
+        trimmed, r"^[0-9a-fA-F]+$"
+    ).to_numpy(zero_copy_only=False) & ~nulls
+    if hexish.any():
+        from .functions._strkern import utf8_view
+
+        stripped = pc.utf8_ltrim(trimmed, "0")
+        data, off = utf8_view(stripped)
+        hvals, hok = bits.parse_hex_u64(data, off)
+        allzero = np.diff(off) == 0  # "000" -> value 0, valid parse
+        vals[hexish] = hvals[hexish]
+        ok[hexish] = (hok | allzero)[hexish]
+    # decimal form: pure-digit strings that overflowed the 16-hex-digit
+    # parse (reference accepts u64 decimal cell ids); <=19 digits always
+    # fit u64 -> vectorized cast, 20 digits may overflow -> scalar
+    dec = ~ok & ~nulls & pc.match_substring_regex(
+        trimmed, r"^[0-9]+$"
+    ).to_numpy(zero_copy_only=False)
+    if dec.any():
+        stripped0 = pc.utf8_ltrim(trimmed, "0")
+        slen = pc.binary_length(stripped0).to_numpy(zero_copy_only=False)
+        easy = dec & (slen >= 17) & (slen <= 19)
+        if easy.any():
+            eidx = np.nonzero(easy)[0]
+            vals[eidx] = (
+                stripped0.take(pa.array(eidx))
+                .cast(pa.uint64())
+                .to_numpy(zero_copy_only=False)
+            )
+            ok[eidx] = True
+        hard = dec & (slen == 20)
+        for i in np.nonzero(hard)[0].tolist():
+            try:
+                vals[i] = np.uint64(int(trimmed[int(i)].as_py(), 10))
+                ok[i] = True
+            except (ValueError, OverflowError):
+                pass
+    # exotic int() spellings (signs, 0x prefix, unicode digits): scalar
+    # parser on just those rows for exact parity
+    raw_len = pc.binary_length(filled).to_numpy(zero_copy_only=False)
+    exotic = ~ok & ~nulls & (raw_len > 0)
+    exotic &= (
+        pc.match_substring_regex(trimmed, r"^([+-]|0[xX])").to_numpy(zero_copy_only=False)
+        | (
+            pc.utf8_length(filled).to_numpy(zero_copy_only=False) != raw_len
+        )
+    )
+    if exotic.any():
+        eidx = np.nonzero(exotic)[0]
+        evals, eok = bits.parse_hex_strings(
+            [filled[int(i)].as_py() for i in eidx]
+        )
+        vals[eidx] = evals
+        ok[eidx] = eok
     # validate parsed integers as cells
     ok &= bits.is_valid_cell(vals)
+
     # coordinate form: "x,y,res" or "x;y;res" (x=lng, y=lat)
-    todo = [i for i, o in enumerate(ok) if not o and strings[i]]
-    if todo:
-        lats, lngs, ress, rows = [], [], [], []
-        for i in todo:
-            s = strings[i].replace(";", ",")
-            parts = [p.strip() for p in s.split(",")]
-            if len(parts) == 3:
-                try:
-                    lng_v, lat_v, res_v = float(parts[0]), float(parts[1]), int(parts[2])
-                    if 0 <= res_v <= 15:
-                        lats.append(lat_v)
-                        lngs.append(lng_v)
-                        ress.append(res_v)
-                        rows.append(i)
-                except ValueError:
-                    pass
-        if rows:
-            cells = faceijk.latlng_to_cell(
-                np.array(lats), np.array(lngs), np.array(ress)
+    todo = ~ok & ~nulls & (raw_len > 0)
+    if todo.any():
+        parts = pc.split_pattern(pc.replace_substring(filled, ";", ","), ",")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        plen = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        cand = todo & (plen == 3)
+        if cand.any():
+            poff = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = parts.values
+            cidx = np.nonzero(cand)[0]
+            base = poff[cidx]
+            p = [
+                pc.utf8_trim_whitespace(flat.take(pa.array(base + j)))
+                for j in range(3)
+            ]
+            good = (
+                pc.match_substring_regex(p[0], _FLOAT_RE).to_numpy(zero_copy_only=False)
+                & pc.match_substring_regex(p[1], _FLOAT_RE).to_numpy(zero_copy_only=False)
+                & pc.match_substring_regex(p[2], _INT_RE).to_numpy(zero_copy_only=False)
             )
-            vals[rows] = cells
-            ok[rows] = True
+            if good.any():
+                g = pa.array(np.nonzero(good)[0])
+                lng_v = p[0].take(g).cast(pa.float64()).to_numpy(zero_copy_only=False)
+                lat_v = p[1].take(g).cast(pa.float64()).to_numpy(zero_copy_only=False)
+                res_v = p[2].take(g).cast(pa.int64()).to_numpy(zero_copy_only=False)
+                in_range = (res_v >= 0) & (res_v <= 15)
+                rows = cidx[good][in_range]
+                if len(rows):
+                    vals[rows] = faceijk.latlng_to_cell(
+                        lat_v[in_range], lng_v[in_range], res_v[in_range]
+                    )
+                    ok[rows] = True
+            # exotic spellings ("inf", "1_0", hex floats...): exact scalar
+            # semantics on the (rare) remaining candidates
+            rest = cidx[~good]
+            if len(rest):
+                lats, lngs, ress, rrows = [], [], [], []
+                for i in rest.tolist():
+                    ps = [x.strip() for x in filled[i].as_py().replace(";", ",").split(",")]
+                    try:
+                        lng_s, lat_s, res_s = float(ps[0]), float(ps[1]), int(ps[2])
+                    except ValueError:
+                        continue
+                    if 0 <= res_s <= 15:
+                        lngs.append(lng_s)
+                        lats.append(lat_s)
+                        ress.append(res_s)
+                        rrows.append(i)
+                if rrows:
+                    vals[rrows] = faceijk.latlng_to_cell(
+                        np.array(lats), np.array(lngs), np.array(ress)
+                    )
+                    ok[rrows] = True
     # null inputs stay null without raising (reference null semantics)
-    nulls = np.array([s is None for s in strings], dtype=bool)
     if not set_failing_to_invalid and not (ok | nulls).all():
-        bad = [s for s, o in zip(strings, ok) if not o and s is not None][:3]
+        bad_idx = np.nonzero(~ok & ~nulls)[0][:3]
+        bad = [filled[int(i)].as_py() for i in bad_idx]
         raise ValueError(f"non-parsable CellIndex: {bad}")
     out = pa.array(vals, mask=~ok)
     if cell_col in batch.column_names:
@@ -262,17 +370,29 @@ def change_resolution_list(
     """1:1 positional list<u64> output variant (reference:
     change_resolution.rs:71-100); nulls preserved as empty lists."""
     cells = _u64(batch, cell_col)
+    n = len(cells)
     res = bits.get_resolution(cells).astype(np.int64)
-    lists = []
     up = res >= out_res
     parents = bits.cell_to_parent(cells, np.uint64(out_res))
-    for i in range(len(cells)):
-        if up[i]:
-            lists.append([int(parents[i])])
-        else:
-            ch, _ = hierarchy.cell_to_children(cells[i : i + 1], out_res)
-            lists.append([int(x) for x in ch])
-    return batch.append_column(out_col, pa.array(lists, type=pa.large_list(pa.uint64())))
+    counts = np.ones(n, dtype=np.int64)
+    down_idx = np.nonzero(~up)[0]
+    if len(down_idx):
+        ch, rows = hierarchy.cell_to_children(cells[down_idx], out_res)
+        order = np.argsort(rows, kind="stable")
+        ch, rows = ch[order], rows[order]
+        counts[down_idx] = np.bincount(rows, minlength=len(down_idx))
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    values = np.empty(int(offsets[-1]), dtype=np.uint64)
+    values[offsets[:-1][up]] = parents[up]
+    if len(down_idx):
+        # scatter each down-row's children to its output slot, in order
+        within = np.arange(len(ch)) - np.repeat(
+            np.cumsum(counts[down_idx]) - counts[down_idx], counts[down_idx]
+        )
+        values[np.repeat(offsets[:-1][down_idx], counts[down_idx]) + within] = ch
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(values))
+    return batch.append_column(out_col, lists)
 
 
 # published per-resolution stats (reference: ResolutionArray methods,
@@ -323,14 +443,17 @@ def grid_disk_list(
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk_s))
-    return _append_array(batch, out_col, lists)
+    return _append(batch, out_col, lists)
 
 
 def grid_disk_distances_list(
     batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME
 ) -> pa.Table:
-    """Non-flattened grid_disk_distances: {cell: large_list<u64>,
-    k: large_list<u32>} per row (reference neighbor.rs:73-107)."""
+    """Non-flattened grid_disk_distances: {disk: large_list<u64>,
+    k: large_list<u32>} per row (the reference names the list column 'cell',
+    h3ronpy/src/op/neighbor.rs:73-107; this engine keeps 'disk' to avoid
+    clobbering the input cell column).  Within-list order is BFS order,
+    not the reference ring order — compare as sets per origin."""
     cells = _u64(batch, cell_col)
     rows, disk, dist = traversal.grid_disk_distances(cells, k)
     order = np.argsort(rows, kind="stable")
@@ -338,12 +461,12 @@ def grid_disk_distances_list(
     counts = np.bincount(rows_s, minlength=len(cells))
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    batch = _append_array(
+    batch = _append(
         batch,
         "disk",
         pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk[order])),
     )
-    return _append_array(
+    return _append(
         batch,
         "k",
         pa.LargeListArray.from_arrays(
@@ -352,7 +475,4 @@ def grid_disk_distances_list(
     )
 
 
-def _append_array(batch: pa.Table, name: str, arr: pa.Array) -> pa.Table:
-    if name in batch.column_names:
-        batch = batch.drop_columns([name])
-    return batch.append_column(name, arr)
+

@@ -25,9 +25,6 @@ def make_kernel(lookup: join_mod.RectLookup):
     def kernel(batch: pa.Table) -> pa.Table:
         docs = corpus_mod.interleave_documents(batch)
         docs = corpus_mod.spans_fingerprint(docs)
-        fp = dict(
-            zip(docs.column("doc_id").to_pylist(), docs.column("span_fp").to_pylist())
-        )
         geo = corpus_mod.extract_geo_spans(docs)
         parsed = kernels.cells_parse(geo, "geo_text")
         parsed = kernels.cells_to_coordinates(parsed)
@@ -35,12 +32,13 @@ def make_kernel(lookup: join_mod.RectLookup):
             lookup, id_cols=("doc_id",), rect_id_col="rect_id"
         )
         joined = refine(parsed)
-        span_fp = pa.array(
-            np.array(
-                [fp[d] for d in joined.column("doc_id").to_pylist()], dtype=np.uint32
-            )
-        )
-        return joined.append_column("span_fp", span_fp)
+        # carry span_fp by sorted-key lookup (doc_id strings), vectorized
+        keys = docs.column("doc_id").to_numpy(zero_copy_only=False)
+        fps = docs.column("span_fp").to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        probe = joined.column("doc_id").to_numpy(zero_copy_only=False)
+        span_fp = fps[order[np.searchsorted(keys[order], probe)]]
+        return joined.append_column("span_fp", pa.array(span_fp))
 
     return kernel
 
