@@ -1,12 +1,29 @@
 """Local IJ coordinates relative to an anchor cell (vectorized).
 
-Port of the published cellToLocalIj / localIjToCell pair for same-base-cell
-and hexagon-neighbor-base-cell anchors.  Moves that involve pentagon
-distortion (origin or index on a pentagon base cell while crossing base
-cells) are *masked as failing* rather than resolved — the reference exposes
-the same escape hatch via ``set_failing_to_invalid``
-(h3ronpy/python/h3ronpy/__init__.py:243-283); our coverage is the hexagon
-fast path plus same-base-cell pentagons.
+Implements the cellToLocalIj / localIjToCell pair including pentagon
+base-cell handling (the reference reaches the same operator through h3o:
+crates/h3arrow/src/algorithm/localij.rs:94-144; pinned there by
+h3ronpy/tests/arrow/test_localij.py roundtrips).
+
+Structure mirrors the published H3 algorithm: hexagon crossings unfold a
+neighbor base cell via the neighbor-rotation table; pentagon crossings need
+per-(sector, direction) corrections for the deleted K wedge.  Those
+corrections — `_PENT_A_U` / `_PENT_A_T` (origin on a pentagon: orientation
+and offset-position rotation per (polar-class, origin leading digit, dir))
+and `_PENT_C_W` (same-pentagon sector-to-sector rotation) — are derived in
+tools/derive_localij_tables.py from an isometry requirement: the unfolded
+coordinates must reproduce exact BFS grid distances for every seam-local
+cell pair, which pins each rigid motion uniquely.  Entries -1 mark folds
+with no consistent unfolding (the ambiguous wedge side); those rows fail,
+mirroring the reference's FAILED_DIRECTIONS escape hatch.  The
+index-on-pentagon case needs no separate table: it is the exact rigid
+inverse of the origin-on-pentagon unfold (reciprocity), so both directions
+stay mutually consistent by construction.
+
+The inverse direction resolves pentagon-involved anchors by candidate
+enumeration + forward verification: a cell is returned only if the forward
+map sends it back to the queried (i, j), making roundtrips exact by
+construction.
 
 Output schema mirrors the reference: {i: int32, j: int32, anchor: uint64}
 (h3ronpy/src/op/localij.rs:36-40).
@@ -17,9 +34,73 @@ from __future__ import annotations
 import numpy as np
 
 from . import bits, ijk
-from .constants import BASE_CELL_IS_PENTAGON, MAX_H3_RES
+from .constants import BASE_CELL_IS_PENTAGON, MAX_H3_RES, NUM_BASE_CELLS
 from .faceijk import is_class_iii
 from .traversal import BASE_CELL_NEIGHBOR_ROTS, BASE_CELL_NEIGHBORS, INVALID_BASE_CELL
+
+# polar pentagons have a different neighbor orientation pattern
+BASE_CELL_IS_POLAR_PENT = np.zeros(NUM_BASE_CELLS + 1, dtype=bool)
+BASE_CELL_IS_POLAR_PENT[[4, 117]] = True
+
+# a base cell that is a pentagon or touches one needs the slow inverse path
+_PENT_ADJACENT = BASE_CELL_IS_PENTAGON.copy()
+for _d in range(1, 7):
+    _nb = BASE_CELL_NEIGHBORS[:, _d]
+    _ok = (_nb >= 0) & (_nb < NUM_BASE_CELLS)
+    _PENT_ADJACENT[_ok] |= BASE_CELL_IS_PENTAGON[_nb[_ok]]
+
+# --- pentagon unfold tables (derived; see tools/derive_localij_tables.py) ---
+# index [polar][leading_digit][dir]; -1 = no consistent unfold (fail row)
+_PENT_A_U = np.array([
+    [  # non-polar
+        [-1, -1, 0, 0, 2, 1, 0],
+        [-1, -1, -1, -1, -1, -1, -1],
+        [-1, -1, 0, 0, -1, 1, 0],
+        [-1, -1, 0, 0, 1, 1, -1],
+        [-1, -1, 0, -1, 2, 2, 0],
+        [-1, -1, -1, 1, 2, 2, 0],
+        [-1, -1, 0, 0, 2, -1, 0],
+    ],
+    [  # polar
+        [-1, -1, 4, 0, 0, 3, 2],
+        [-1, -1, -1, -1, -1, -1, -1],
+        [-1, -1, 4, 0, -1, 3, 2],
+        [-1, -1, 4, 0, 5, 3, -1],
+        [-1, -1, 4, -1, 0, 4, 2],
+        [-1, -1, -1, 1, 0, 4, 2],
+        [-1, -1, 4, 0, 0, -1, 2],
+    ],
+], dtype=np.int8)
+_PENT_A_T = np.array([
+    [  # non-polar
+        [-1, -1, 0, 0, 0, 5, 0],
+        [-1, -1, -1, -1, -1, -1, -1],
+        [-1, -1, 0, 0, -1, 5, 0],
+        [-1, -1, 0, 0, 5, 5, -1],
+        [-1, -1, 0, -1, 0, 0, 0],
+        [-1, -1, -1, 1, 0, 0, 0],
+        [-1, -1, 0, 0, 0, -1, 0],
+    ],
+    [  # polar
+        [-1, -1, 0, 0, 0, 5, 0],
+        [-1, -1, -1, -1, -1, -1, -1],
+        [-1, -1, 0, 0, -1, 5, 0],
+        [-1, -1, 0, 0, 5, 5, -1],
+        [-1, -1, 0, -1, 0, 0, 0],
+        [-1, -1, -1, 1, 0, 0, 0],
+        [-1, -1, 0, 0, 0, -1, 0],
+    ],
+], dtype=np.int8)
+# same-pentagon sector-to-sector rotation [origin_leading][index_leading]
+_PENT_C_W = np.array([
+    [0, 0, 0, 0, 0, 0, 0],
+    [0, -1, -1, -1, -1, -1, -1],
+    [0, -1, 0, 0, 0, 5, 0],
+    [0, -1, 0, 0, 5, 5, 0],
+    [0, -1, 0, 1, 0, 0, 0],
+    [0, -1, 1, 1, 0, 0, 0],
+    [0, -1, 0, 0, 0, 0, 0],
+], dtype=np.int8)
 
 
 def _base_cell_direction(from_bc: np.ndarray, to_bc: np.ndarray) -> np.ndarray:
@@ -59,12 +140,38 @@ def _scaled_offset(direction: np.ndarray, res: int) -> np.ndarray:
     return off
 
 
+def _ijk_to_digits(coord: np.ndarray, res: int):
+    """Aggregate res-level ijk coords to base level: returns (h with digits
+    set, base-level coord).  The faceijk_to_cell digit loop, shared by the
+    inverse paths."""
+    c = coord.copy()
+    h = bits.init_cell(res, len(c))
+    for rr in range(res - 1, -1, -1):
+        last = c
+        if is_class_iii(rr + 1):
+            c = ijk.up_ap7(c)
+            center = ijk.down_ap7(c)
+        else:
+            c = ijk.up_ap7r(c)
+            center = ijk.down_ap7r(c)
+        diff = ijk.normalize(last - center)
+        h = bits.set_index_digit(h, rr + 1, ijk.unit_ijk_to_digit(diff))
+    return h, c
+
+
+def _rot_coord(coord: np.ndarray, n) -> np.ndarray:
+    """Rotate rows ccw by n*60deg (n scalar or per-row, negatives ok)."""
+    n = np.asarray(n, dtype=np.int64) % 6
+    if n.ndim == 0:
+        n = np.full(len(coord), int(n), dtype=np.int64)
+    return ijk.rotate60_ccw_n(coord, n)
+
+
 def cells_to_localij(cells: np.ndarray, anchors: np.ndarray):
     """Per-row local (i, j) of ``cells`` relative to ``anchors``.
 
     Returns (i, j, ok_mask); failing rows (res mismatch, non-adjacent base
-    cells, pentagon-crossing distortion) have ok=False.
-    """
+    cells, ambiguous pentagon folds) have ok=False."""
     cells = np.asarray(cells, dtype=np.uint64)
     anchors = np.broadcast_to(np.asarray(anchors, dtype=np.uint64), cells.shape).copy()
     n = len(cells)
@@ -77,42 +184,248 @@ def cells_to_localij(cells: np.ndarray, anchors: np.ndarray):
     same = bc_a == bc_c
     pent_a = BASE_CELL_IS_PENTAGON[bc_a.clip(0, 121)]
     pent_c = BASE_CELL_IS_PENTAGON[bc_c.clip(0, 121)]
-    # pentagon distortion across base cells is out of scope -> fail
-    ok &= same | (~pent_a & ~pent_c)
 
-    h = cells.copy()
+    direction = _base_cell_direction(bc_a, bc_c)
+    ok &= same | (direction != 7)
+
     coord = np.zeros((n, 3), dtype=np.int64)
-    out_i = np.zeros(n, dtype=np.int64)
-    out_j = np.zeros(n, dtype=np.int64)
 
-    crossing = ok & ~same
-    if crossing.any():
-        direction = _base_cell_direction(bc_a, bc_c)
-        ok &= same | (direction != 7)
-        crossing = ok & ~same
+    # --- same base cell -----------------------------------------------------
+    m_same = ok & same
+    if m_same.any():
+        for r in np.unique(res_c[m_same]):
+            m = m_same & (res_c == r)
+            coord[m] = _digits_to_base_ijk(cells[m])
+        # pentagon sector-to-sector correction (case C)
+        mp = m_same & pent_a
+        if mp.any():
+            Lo = bits.leading_nonzero_digit(anchors[mp]).astype(np.int64)
+            Li = bits.leading_nonzero_digit(cells[mp]).astype(np.int64)
+            w = _PENT_C_W[Lo, Li].astype(np.int64)
+            bad = w < 0
+            coord[mp] = _rot_coord(coord[mp], np.where(bad, 0, w))
+            if bad.any():
+                idx = np.nonzero(mp)[0]
+                ok[idx[bad]] = False
+
+    # --- hexagon-to-hexagon crossing (fast path, unchanged semantics) ------
+    m_hex = ok & ~same & ~pent_a & ~pent_c
+    if m_hex.any():
         rot = BASE_CELL_NEIGHBOR_ROTS[bc_a, direction.clip(0, 6)]
-        hh = h.copy()
+        hh = cells.copy()
         for k in range(1, 6):
-            m = crossing & (rot >= k)
+            m = m_hex & (rot >= k)
             if m.any():
                 hh = np.where(m, bits.rotate60_ccw(hh), hh)
-        h = np.where(crossing, hh, h)
-
-    # group by resolution to keep the digit loop uniform
-    for r in np.unique(res_c):
-        m = res_c == r
-        coord[m] = _digits_to_base_ijk(h[m])
-        cm = m & ok & ~same
-        if cm.any():
+        for r in np.unique(res_c[m_hex]):
+            m = m_hex & (res_c == r)
+            if not m.any():
+                continue
+            base = _digits_to_base_ijk(hh[m])
             for d in range(1, 7):
-                dm = cm & (_base_cell_direction(bc_a, bc_c) == d)
+                dm = direction[m] == d
                 if dm.any():
                     off = _scaled_offset(np.array([d]), int(r))[0]
-                    coord[dm] = ijk.normalize(coord[dm] + off)
+                    base[dm] = ijk.normalize(base[dm] + off)
+            coord[m] = base
+
+    # --- origin on a pentagon (case A) --------------------------------------
+    m_pa = ok & ~same & pent_a
+    if m_pa.any():
+        polar = BASE_CELL_IS_POLAR_PENT[bc_a.clip(0, NUM_BASE_CELLS)].astype(np.int64)
+        L = bits.leading_nonzero_digit(anchors).astype(np.int64)
+        u = _PENT_A_U[polar, L, direction.clip(0, 6)].astype(np.int64)
+        t = _PENT_A_T[polar, L, direction.clip(0, 6)].astype(np.int64)
+        bad = m_pa & (u < 0)
+        ok &= ~bad
+        m_pa = ok & ~same & pent_a
+        if m_pa.any():
+            rot = BASE_CELL_NEIGHBOR_ROTS[bc_a, direction.clip(0, 6)]
+            hh = cells.copy()
+            for k in range(1, 6):
+                m = m_pa & (rot >= k)
+                if m.any():
+                    hh = np.where(m, bits.rotate60_ccw(hh), hh)
+            for r in np.unique(res_c[m_pa]):
+                m = m_pa & (res_c == r)
+                if not m.any():
+                    continue
+                base = _rot_coord(_digits_to_base_ijk(hh[m]), u[m])
+                for d in range(1, 7):
+                    dm = direction[m] == d
+                    if dm.any():
+                        off = _scaled_offset(np.array([d]), int(r))[None, 0]
+                        offr = _rot_coord(np.repeat(off, int(dm.sum()), axis=0), t[m][dm])
+                        base[dm] = ijk.normalize(base[dm] + offr)
+                coord[m] = base
+
+    # --- index on a pentagon (case B: rigid inverse of case A) --------------
+    m_pb = ok & ~same & pent_c & ~pent_a
+    if m_pb.any():
+        revd = _base_cell_direction(bc_c, bc_a)
+        polar = BASE_CELL_IS_POLAR_PENT[bc_c.clip(0, NUM_BASE_CELLS)].astype(np.int64)
+        Lx = bits.leading_nonzero_digit(cells).astype(np.int64)
+        u = _PENT_A_U[polar, Lx, revd.clip(0, 6)].astype(np.int64)
+        t = _PENT_A_T[polar, Lx, revd.clip(0, 6)].astype(np.int64)
+        rots = BASE_CELL_NEIGHBOR_ROTS[bc_c.clip(0, 121), revd.clip(0, 6)].astype(np.int64)
+        bad = m_pb & ((u < 0) | (revd == 7))
+        ok &= ~bad
+        m_pb = ok & ~same & pent_c & ~pent_a
+        for r in np.unique(res_c[m_pb]):
+            m = m_pb & (res_c == r)
+            if not m.any():
+                continue
+            cx = _digits_to_base_ijk(cells[m])
+            for d in range(1, 7):
+                dm = revd[m] == d
+                if dm.any():
+                    off = _scaled_offset(np.array([d]), int(r))[None, 0]
+                    offr = _rot_coord(np.repeat(off, int(dm.sum()), axis=0), t[m][dm])
+                    cx[dm] = ijk.normalize(cx[dm] - offr)
+            coord[m] = _rot_coord(cx, -(u[m] + rots[m]))
 
     out_i = coord[:, 0] - coord[:, 2]
     out_j = coord[:, 1] - coord[:, 2]
     return out_i.astype(np.int32), out_j.astype(np.int32), ok
+
+
+def _hex_inverse(anchors, coord, res_arr, ok):
+    """Original hexagon-anchor inverse (digit aggregation + neighbor fix-up).
+    Used for anchors with no pentagon involvement."""
+    n = len(anchors)
+    out = np.zeros(n, dtype=np.uint64)
+    bc_a = bits.get_base_cell(anchors)
+    for r in np.unique(res_arr):
+        m = res_arr == r
+        res = int(r)
+        h, c = _ijk_to_digits(coord[m], res)
+        is_center = (c == 0).all(axis=1)
+        digit = ijk.unit_ijk_to_digit(c)
+        okm = is_center | (digit != ijk.INVALID_DIGIT)
+        bca = bc_a[m]
+        nb = np.where(
+            is_center, bca, BASE_CELL_NEIGHBORS[bca, digit.clip(0, 6).astype(np.int64)]
+        )
+        okm &= nb != INVALID_BASE_CELL
+        rot = np.where(
+            is_center, 0, BASE_CELL_NEIGHBOR_ROTS[bca, digit.clip(0, 6).astype(np.int64)]
+        )
+        for k in range(1, 6):
+            rm = (rot >= k) & okm
+            if rm.any():
+                h = np.where(rm, bits.rotate60_cw(h), h)
+        h = bits.set_base_cell(h, nb.clip(0, 121).astype(np.uint64))
+        rows = np.nonzero(m)[0]
+        out[rows] = h
+        ok[rows] &= okm
+    return out, ok
+
+
+def _pent_inverse(anchors, coord, res_arr):
+    """Inverse for pentagon-involved anchors: enumerate the bounded
+    candidate set (same-bc sector rotations, hexagon neighbors, pentagon
+    neighbors via the reciprocity algebra), then keep only candidates the
+    FORWARD map verifies — roundtrip-exact by construction."""
+    n = len(anchors)
+    out = np.zeros(n, dtype=np.uint64)
+    found = np.zeros(n, dtype=bool)
+    bc_a = bits.get_base_cell(anchors)
+    pent_a = BASE_CELL_IS_PENTAGON[bc_a.clip(0, 121)]
+    qi = coord[:, 0] - coord[:, 2]
+    qj = coord[:, 1] - coord[:, 2]
+
+    def try_candidates(cand):
+        nonlocal out, found
+        pending = ~found & bits.is_valid_cell(cand)
+        if not pending.any():
+            return
+        idx = np.nonzero(pending)[0]
+        ci, cj, cok = cells_to_localij(cand[idx], anchors[idx])
+        hit = cok & (ci == qi[idx]) & (cj == qj[idx])
+        rows = idx[hit]
+        out[rows] = cand[idx][hit]
+        found[rows] = True
+
+    for r in np.unique(res_arr):
+        m = res_arr == r
+        res = int(r)
+        rows = np.nonzero(m)[0]
+        nm = len(rows)
+        crd = coord[m]
+        bca = bc_a[m]
+        polar_a = BASE_CELL_IS_POLAR_PENT[bca.clip(0, NUM_BASE_CELLS)].astype(np.int64)
+        La = bits.leading_nonzero_digit(anchors[m]).astype(np.int64)
+
+        def submit(h_part, local_ok):
+            cand = np.zeros(n, dtype=np.uint64)
+            cand[rows[local_ok]] = h_part[local_ok]
+            try_candidates(cand)
+
+        # 1. same base cell (pentagon sector rotations; hex: w == 0)
+        for Li in (0, 2, 3, 4, 5, 6):
+            w = np.where(pent_a[m], _PENT_C_W[La.clip(0, 6), Li], 0).astype(np.int64)
+            lok = w >= 0
+            h, c = _ijk_to_digits(_rot_coord(crd, -w), res)
+            lok &= (c == 0).all(axis=1)
+            h = bits.set_base_cell(h, bca.clip(0, 121).astype(np.uint64))
+            submit(h, lok)
+            if not pent_a[m].any():
+                break  # hex anchors: all Li identical
+        # 2. neighbor base cells
+        for d in range(1, 7):
+            nb = BASE_CELL_NEIGHBORS[bca, d]
+            valid_nb = nb != INVALID_BASE_CELL
+            if not valid_nb.any():
+                continue
+            nb_pent = BASE_CELL_IS_PENTAGON[nb.clip(0, 121)]
+            off = _scaled_offset(np.array([d]), res)[0]
+            # 2a. anchor hex (or pent), neighbor hex
+            hexnb = valid_nb & ~nb_pent
+            if hexnb.any():
+                u = np.where(pent_a[m], _PENT_A_U[polar_a, La, d], 0).astype(np.int64)
+                t = np.where(pent_a[m], _PENT_A_T[polar_a, La, d], 0).astype(np.int64)
+                lok = hexnb & (u >= 0)
+                # undo orientation: forward was coord = R^u(C) + R^t(off)
+                offr = _rot_coord(np.repeat(off[None, :], nm, axis=0), t)
+                cbase = _rot_coord(crd - offr, -u)
+                h, c = _ijk_to_digits(cbase, res)
+                lok &= (c == 0).all(axis=1)
+                rot = BASE_CELL_NEIGHBOR_ROTS[bca, d].astype(np.int64)
+                for k in range(1, 6):
+                    rm = lok & (rot >= k)
+                    if rm.any():
+                        h = np.where(rm, bits.rotate60_cw(h), h)
+                h = bits.set_base_cell(h, nb.clip(0, 121).astype(np.uint64))
+                submit(h, lok)
+            # 2b. neighbor pentagon (anchor is hex; two pentagons never touch)
+            pnb = valid_nb & nb_pent & ~pent_a[m]
+            if pnb.any():
+                revd = _base_cell_direction(nb.clip(0, 121), bca)
+                polar_n = BASE_CELL_IS_POLAR_PENT[
+                    nb.clip(0, NUM_BASE_CELLS)
+                ].astype(np.int64)
+                rots = BASE_CELL_NEIGHBOR_ROTS[
+                    nb.clip(0, 121), revd.clip(0, 6)
+                ].astype(np.int64)
+                offv = np.zeros((nm, 3), dtype=np.int64)
+                for dr in range(1, 7):
+                    dm = pnb & (revd == dr)
+                    if dm.any():
+                        offv[dm] = _scaled_offset(np.array([dr]), res)[0]
+                for Lx in (0, 2, 3, 4, 5, 6):
+                    u = _PENT_A_U[polar_n, Lx, revd.clip(0, 6)].astype(np.int64)
+                    t = _PENT_A_T[polar_n, Lx, revd.clip(0, 6)].astype(np.int64)
+                    lok = pnb & (u >= 0) & (revd != 7)
+                    if not lok.any():
+                        continue
+                    offr = _rot_coord(offv, t)
+                    cx = ijk.normalize(_rot_coord(crd, u + rots) + offr)
+                    h, c = _ijk_to_digits(cx, res)
+                    lok &= (c == 0).all(axis=1)
+                    h = bits.set_base_cell(h, nb.clip(0, 121).astype(np.uint64))
+                    lok &= bits.leading_nonzero_digit(h).astype(np.int64) == Lx
+                    submit(h, lok)
+    return out, found
 
 
 def localij_to_cells(anchors: np.ndarray, i: np.ndarray, j: np.ndarray):
@@ -127,51 +440,25 @@ def localij_to_cells(anchors: np.ndarray, i: np.ndarray, j: np.ndarray):
     ok = np.ones(n, dtype=bool)
     out = np.zeros(n, dtype=np.uint64)
     bc_a = bits.get_base_cell(anchors)
-    pent_a = BASE_CELL_IS_PENTAGON[bc_a.clip(0, 121)]
+    involved = _PENT_ADJACENT[bc_a.clip(0, 121)]
 
     coord = np.stack([i, j, np.zeros_like(i)], axis=1)
     coord = ijk.normalize(coord)
 
-    for r in np.unique(res_arr):
-        m = res_arr == r
-        res = int(r)
-        c = coord[m].copy()
-        nm = int(m.sum())
-        h = bits.init_cell(res, nm)
-        # digit aggregation exactly as faceijk_to_cell
-        for rr in range(res - 1, -1, -1):
-            last = c
-            if is_class_iii(rr + 1):
-                c = ijk.up_ap7(c)
-                center = ijk.down_ap7(c)
-            else:
-                c = ijk.up_ap7r(c)
-                center = ijk.down_ap7r(c)
-            diff = ijk.normalize(last - center)
-            h = bits.set_index_digit(h, rr + 1, ijk.unit_ijk_to_digit(diff))
-        # c is now the base-cell-level coordinate
-        is_center = (c == 0).all(axis=1)
-        digit = ijk.unit_ijk_to_digit(c)
-        okm = is_center | (digit != ijk.INVALID_DIGIT)
-        bca = bc_a[m]
-        penta = pent_a[m]
-        okm &= is_center | ~penta  # pentagon-crossing out of scope
-        nb = np.where(
-            is_center, bca, BASE_CELL_NEIGHBORS[bca, digit.clip(0, 6).astype(np.int64)]
+    plain = ~involved
+    if plain.any():
+        rows = np.nonzero(plain)[0]
+        sub_out, sub_ok = _hex_inverse(
+            anchors[plain], coord[plain], res_arr[plain], ok[plain].copy()
         )
-        okm &= nb != INVALID_BASE_CELL
-        nb_pent = BASE_CELL_IS_PENTAGON[nb.clip(0, 121)]
-        okm &= is_center | ~nb_pent
-        rot = np.where(
-            is_center, 0, BASE_CELL_NEIGHBOR_ROTS[bca, digit.clip(0, 6).astype(np.int64)]
+        out[rows] = sub_out
+        ok[rows] = sub_ok
+    if involved.any():
+        rows = np.nonzero(involved)[0]
+        sub_out, sub_found = _pent_inverse(
+            anchors[involved], coord[involved], res_arr[involved]
         )
-        for k in range(1, 6):
-            rm = (rot >= k) & okm
-            if rm.any():
-                h = np.where(rm, bits.rotate60_cw(h), h)
-        h = bits.set_base_cell(h, nb.clip(0, 121).astype(np.uint64))
-        rows = np.nonzero(m)[0]
-        out[rows] = h
-        ok[rows] &= okm
+        out[rows] = sub_out
+        ok[rows] = sub_found
     ok &= bits.is_valid_cell(out)
     return out, ok

@@ -585,9 +585,27 @@ def q_polyfill_rects(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pentagon_anchor_cells(eid: np.ndarray) -> np.ndarray:
+    """Deterministic res-2 cells on pentagon base cells (digit 1 avoided so
+    every index is valid on a pentagon)."""
+    from ..h3core import bits
+    from ..h3core.constants import BASE_CELL_IS_PENTAGON
+
+    pents = np.nonzero(BASE_CELL_IS_PENTAGON)[0].astype(np.uint64)
+    e = eid.astype(np.uint64)
+    h = bits.init_cell(2, len(e))
+    h = bits.set_base_cell(h, pents[(e % np.uint64(12)).astype(np.int64)])
+    nok = np.array([0, 2, 3, 4, 5, 6], dtype=np.uint64)  # no K digit
+    h = bits.set_index_digit(h, 1, nok[(e % np.uint64(6)).astype(np.int64)])
+    h = bits.set_index_digit(h, 2, nok[((e // np.uint64(6)) % np.uint64(6)).astype(np.int64)])
+    return h
+
+
 def q_localij(sf_dir: str):
     """Constructed cells -> disk neighbors -> local IJ relative to the
-    origin (rows-only; golden + roundtrip in pytest)."""
+    origin; every batch also contributes pentagon-anchored disks (crossing
+    pentagon base-cell seams) so the pentagon unfold paths run in the
+    driver.  Rows-only; golden + roundtrip + pentagon coverage in pytest."""
     from ..h3core import localij as localij_mod
     from ..h3core import traversal
 
@@ -596,11 +614,49 @@ def q_localij(sf_dir: str):
         cells = _construct_cells(eid)
         rows, disk, dist = traversal.grid_disk_distances(cells, 1)
         i, j, ok = localij_mod.cells_to_localij(disk, cells[rows])
+        out_eid = [eid[rows][ok]]
+        out_i = [i[ok].astype(np.int64)]
+        out_j = [j[ok].astype(np.int64)]
+        # pentagon-anchored disks (the unfold paths the reference also runs)
+        pcells = _pentagon_anchor_cells(eid)
+        prow, pdisk, _ = traversal.grid_disk_distances(pcells, 1)
+        pi, pj, pok = localij_mod.cells_to_localij(pdisk, pcells[prow])
+        out_eid.append(eid[prow][pok])
+        out_i.append(pi[pok].astype(np.int64))
+        out_j.append(pj[pok].astype(np.int64))
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_eid)),
+                "i": pa.array(np.concatenate(out_i)),
+                "j": pa.array(np.concatenate(out_j)),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_localij_offsets(sf_dir: str):
+    """Value-oracled local IJ: the ring-1 offsets (i - i0, j - j0) around any
+    hexagon anchor are always the six axial unit vectors plus the center —
+    a constant set DuckDB reproduces with a VALUES cross join.  The
+    constructed cells provably never touch a pentagon (all 70 distinct
+    cells enumerated in pytest)."""
+    from ..h3core import localij as localij_mod
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        i0, j0, ok0 = localij_mod.cells_to_localij(cells, cells)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        i, j, ok = localij_mod.cells_to_localij(disk, cells[rows])
+        di = i.astype(np.int64) - i0.astype(np.int64)[rows]
+        dj = j.astype(np.int64) - j0.astype(np.int64)[rows]
         return pa.table(
             {
                 "event_id": pa.array(eid[rows][ok]),
-                "i": pa.array(i[ok].astype(np.int64)),
-                "j": pa.array(j[ok].astype(np.int64)),
+                "di": pa.array(di[ok]),
+                "dj": pa.array(dj[ok]),
             }
         )
 
@@ -618,6 +674,19 @@ QUERIES.update(
         "media_features": q_media_features,
         "polyfill_rects": q_polyfill_rects,
         "localij": q_localij,
+        "localij_offsets": q_localij_offsets,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "localij_offsets": """
+            SELECT e.event_id, o.di, o.dj
+            FROM events e
+            CROSS JOIN (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+                               (-1, -1), (0, 1), (-1, 0),
+                               (1, 0), (0, -1), (1, 1)) AS o(di, dj)
+        """,
     }
 )
 
