@@ -60,22 +60,35 @@ def rect_cover_cells(
     """
     buf = _MAX_CIRCUMRADIUS_DEG[res] * 1.05
     step = _MIN_INRADIUS_DEG[res] * 0.9
-    out_rows = []
-    out_cells = []
-    for i in range(len(rect_ids)):
-        la0 = lat0[i] - buf
-        la1 = lat1[i] + buf
-        coslat = max(0.05, np.cos(np.radians(min(abs(la0), abs(la1)) if la0 * la1 > 0 else 0.0)))
-        lo0 = lng0[i] - buf / coslat
-        lo1 = lng1[i] + buf / coslat
-        lats = np.arange(la0, la1 + step, step)
-        lngs = np.arange(lo0, lo1 + step / coslat, step / coslat)
-        glat = np.repeat(lats, len(lngs))
-        glng = np.tile(lngs, len(lats))
-        cells = np.unique(faceijk.latlng_to_cell(glat, glng, res))
-        out_rows.append(np.full(len(cells), i, dtype=np.int64))
-        out_cells.append(cells)
-    return np.concatenate(out_rows), np.concatenate(out_cells)
+    n = len(rect_ids)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    la0 = lat0 - buf
+    la1 = lat1 + buf
+    inner = np.where(la0 * la1 > 0, np.minimum(np.abs(la0), np.abs(la1)), 0.0)
+    coslat = np.maximum(0.05, np.cos(np.radians(inner)))
+    lo0 = lng0 - buf / coslat
+    lo1 = lng1 + buf / coslat
+    step_lng = step / coslat
+    # per-rect grid sizes, then one flat index expansion (same sample points
+    # as np.arange per rect: count = floor(span/step) + 1 with arange's
+    # half-open [start, stop+step) semantics)
+    nlat = np.floor((la1 + step - la0) / step - 1e-12).astype(np.int64) + 1
+    nlng = np.floor((lo1 + step_lng - lo0) / step_lng - 1e-12).astype(np.int64) + 1
+    total = nlat * nlng
+    cum = np.cumsum(total) - total
+    rect_of = np.repeat(np.arange(n, dtype=np.int64), total)
+    g = np.arange(int(total.sum()), dtype=np.int64) - cum[rect_of]
+    lat_idx = g // nlng[rect_of]
+    lng_idx = g % nlng[rect_of]
+    glat = la0[rect_of] + step * lat_idx
+    glng = lo0[rect_of] + step_lng[rect_of] * lng_idx
+    cells = faceijk.latlng_to_cell(glat, glng, res)
+    # per-rect dedupe: sort by (rect, cell), keep first occurrences
+    order = np.lexsort((cells, rect_of))
+    rs, cs = rect_of[order], cells[order]
+    first = np.concatenate([[True], (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])])
+    return rs[first], cs[first]
 
 
 class RectLookup:
@@ -104,9 +117,12 @@ class RectLookup:
         right = np.searchsorted(self._cells, cells, side="right")
         counts = right - left
         in_idx = np.repeat(np.arange(len(cells)), counts)
-        take = np.concatenate(
-            [np.arange(l, r) for l, r in zip(left, right) if r > l]
-        ) if counts.sum() else np.empty(0, dtype=np.int64)
+        total = int(counts.sum())
+        take = (
+            np.repeat(left, counts)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        )
         return in_idx, self._rows[take]
 
 
@@ -153,11 +169,7 @@ def make_pip_refine_kernel(
 
 def pip_join_shuffle(
     points_ds,
-    rect_ids: np.ndarray,
-    lng0: np.ndarray,
-    lat0: np.ndarray,
-    lng1: np.ndarray,
-    lat1: np.ndarray,
+    rects_ds,
     res: int,
     salt: int = 4,
     lat_col: str = "lat",
@@ -175,31 +187,43 @@ def pip_join_shuffle(
       * every polygon cover row is replicated to all S salt buckets of its
         cell, so each point bucket still sees every candidate polygon.
 
+    ``rects_ds`` is a Dataset with columns (rect_id, lng0, lat0, lng1,
+    lat1); its cover cells and salt replicas are computed *inside* a
+    ``map_batches`` stage, so the rectangle side streams through the
+    shuffle like any other dataset — nothing is materialized on the driver
+    (the "both sides large" contract).
+
     ``salt`` is the hot-cell fanout S; production pipelines would pick S per
     cell from an observed-frequency sketch (constant here for clarity).
     Output matches ``make_pip_refine_kernel`` row-for-row.
     """
-    import ray
 
-    rect_ids = np.asarray(rect_ids, dtype=np.int64)
-    rows, cells = rect_cover_cells(rect_ids, lng0, lat0, lng1, lat1, res)
-    n = len(rows)
-    rect_side = pa.table(
-        {
-            "cell": pa.array(np.tile(cells, salt)),
-            "salt": pa.array(
-                np.repeat(np.arange(salt, dtype=np.int32), n)
-            ),
-            "side": pa.array(np.zeros(n * salt, dtype=np.int8)),
-            point_id_col: pa.array(np.zeros(n * salt, dtype=np.int64)),
-            lat_col: pa.array(np.zeros(n * salt)),
-            lng_col: pa.array(np.zeros(n * salt)),
-            "rect_id": pa.array(np.tile(rect_ids[rows], salt)),
-            "lng0": pa.array(np.tile(lng0[rows], salt)),
-            "lat0": pa.array(np.tile(lat0[rows], salt)),
-            "lng1": pa.array(np.tile(lng1[rows], salt)),
-            "lat1": pa.array(np.tile(lat1[rows], salt)),
-        }
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        rid = batch.column("rect_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        l0 = batch.column("lng0").to_numpy(zero_copy_only=False)
+        a0 = batch.column("lat0").to_numpy(zero_copy_only=False)
+        l1 = batch.column("lng1").to_numpy(zero_copy_only=False)
+        a1 = batch.column("lat1").to_numpy(zero_copy_only=False)
+        rows, cells = rect_cover_cells(rid, l0, a0, l1, a1, res)
+        n = len(rows)
+        return pa.table(
+            {
+                "cell": pa.array(np.tile(cells, salt)),
+                "salt": pa.array(np.repeat(np.arange(salt, dtype=np.int32), n)),
+                "side": pa.array(np.zeros(n * salt, dtype=np.int8)),
+                point_id_col: pa.array(np.zeros(n * salt, dtype=np.int64)),
+                lat_col: pa.array(np.zeros(n * salt)),
+                lng_col: pa.array(np.zeros(n * salt)),
+                "rect_id": pa.array(np.tile(rid[rows], salt)),
+                "lng0": pa.array(np.tile(l0[rows], salt)),
+                "lat0": pa.array(np.tile(a0[rows], salt)),
+                "lng1": pa.array(np.tile(l1[rows], salt)),
+                "lat1": pa.array(np.tile(a1[rows], salt)),
+            }
+        )
+
+    rect_keyed = rects_ds.map_batches(
+        rect_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def point_rows(batch: pa.Table) -> pa.Table:
@@ -261,7 +285,7 @@ def pip_join_shuffle(
     pts_keyed = points_ds.map_batches(
         point_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    both = pts_keyed.union(ray.data.from_arrow(rect_side))
+    both = pts_keyed.union(rect_keyed)
     return both.groupby(["cell", "salt"]).map_groups(
         join_group, batch_format="pyarrow"
     )

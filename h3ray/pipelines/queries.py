@@ -714,15 +714,18 @@ def q_raster_cells(sf_dir: str):
 
     def k(batch: pa.Table) -> pa.Table:
         keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        # deterministic, partition-invariant subset: every 16th part key gets
+        # a raster (NOT first-N-per-batch, which depended on block bounds)
+        keys = keys[keys % 16 == 0]
         out_v = []
         out_c = []
-        for key in keys[:8]:  # a few rasters per batch
+        for key in keys:
             t = raster_mod.Transform(
                 0.02, 0, float((key * 29) % 300 - 150), 0, -0.02,
                 float((key * 11) % 120 - 60),
             )
-            rng = np.random.default_rng(int(key))
-            arr = rng.integers(0, 4, size=(40, 40)).astype(np.int32)
+            ii, jj = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+            arr = ((int(key) + 7 * ii + 13 * jj) % 4).astype(np.int32)
             v, c = raster_mod.raster_to_cells(arr, t, 7, nodata_value=0)
             out_v.append(v)
             out_c.append(c.astype(np.int64))
@@ -737,6 +740,46 @@ def q_raster_cells(sf_dir: str):
                 "cell": pa.array(np.concatenate(out_c)),
             }
         )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_raster_pixel_agg(sf_dir: str):
+    """Value-oracled raster leg: per-pixel raster rows run through the H3
+    encode (pixel center -> cell, validity, resolution) and aggregate to
+    per-key (n, sum_v, sum_res, n_valid) — each reproducible in SQL via a
+    generate_series grid, while the Ray side actually exercises
+    latlng_to_cell / is_valid_cell / get_resolution per pixel."""
+    from .. import raster as raster_mod
+    from ..h3core import bits, faceijk
+
+    def k(batch: pa.Table) -> pa.Table:
+        keys = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        keys = keys[keys % 16 == 0]
+        out = {"p_partkey": [], "n": [], "sum_v": [], "sum_res": [], "n_valid": []}
+        for key in keys:
+            t = raster_mod.Transform(
+                0.02, 0, float((key * 29) % 300 - 150), 0, -0.02,
+                float((key * 11) % 120 - 60),
+            )
+            ii, jj = np.meshgrid(np.arange(40), np.arange(40), indexing="ij")
+            v = ((int(key) + 7 * ii + 13 * jj) % 4).astype(np.int64).ravel()
+            col = jj.ravel() + 0.5
+            row = ii.ravel() + 0.5
+            lng = t.a * col + t.b * row + t.c
+            lat = t.d * col + t.e * row + t.f
+            keep = v != 0
+            cells = faceijk.latlng_to_cell(lat[keep], lng[keep], 7)
+            valid = bits.is_valid_cell(cells)
+            res = bits.get_resolution(cells).astype(np.int64)
+            out["p_partkey"].append(int(key))
+            out["n"].append(int(keep.sum()))
+            out["sum_v"].append(int(v[keep].sum()))
+            out["sum_res"].append(int(res.sum()))
+            out["n_valid"].append(int(valid.sum()))
+        return pa.table({c: pa.array(out[c], type=pa.int64()) for c in out})
 
     return ray.data.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_partkey"]
@@ -806,11 +849,132 @@ def q_grid_disk_aggregate_k(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def q_disk_agg_totals(sf_dir: str):
+    """Value-oracled traversal aggregate: per event, the k=2 disk of its
+    constructed cell (provably pentagon-free) has exactly 19 members whose
+    ring distances sum to 30, and the flat and list disk variants must
+    agree — all constants DuckDB reproduces."""
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+        n_disk = np.bincount(rows, minlength=len(cells))
+        sum_k = np.bincount(rows, weights=dist.astype(np.float64),
+                            minlength=len(cells)).astype(np.int64)
+        lists = kernels.grid_disk_list(
+            pa.table({"cell": pa.array(cells)}), 2
+        ).column("disk")
+        import pyarrow.compute as pc
+
+        n_list = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "n_disk": pa.array(n_disk.astype(np.int64)),
+                "sum_k": pa.array(sum_k),
+                "n_list": pa.array(n_list.astype(np.int64)),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_minhash_dup_rank(sf_dir: str):
+    """Value-oracled exact-dedup leg of the MinHash pipeline: docs grouped
+    by full 64-hash signature (identical texts always collide), then
+    exact-verified by full-text hash inside each group; emits every doc's
+    rank and group size within its exact-text group — the SQL twin is a
+    window function over GROUP BY text.  Near-dup signature collisions are
+    filtered by the text-hash verify, mirroring the LSH verify stage."""
+    from ..functions import dedup as dedup_fns
+    from ..functions._strkern import FNV_OFFSET, FNV_PRIME
+
+    from ..functions.text import hash_u64_batch
+
+    def sig_hash(batch: pa.Table) -> pa.Table:
+        t = dedup_fns.minhash_signatures(batch)
+        sigs = t.column("minhash").combine_chunks()
+        flat = sigs.flatten().to_numpy(zero_copy_only=False)
+        k64 = flat.reshape(len(t), 64)
+        with np.errstate(over="ignore"):
+            h = np.full(len(t), FNV_OFFSET, dtype=np.uint64)
+            for c in range(64):
+                h = (h ^ k64[:, c]) * FNV_PRIME
+        return pa.table(
+            {
+                "sig": pa.array(h.astype(np.int64)),
+                "doc_id": t.column("doc_id"),
+                # exact-verify key: near-dups can collide on all 64
+                # minhashes, so pairs are confirmed by full-text hash
+                "text_hash": pa.array(
+                    hash_u64_batch(batch.column("text")).astype(np.int64)
+                ),
+            }
+        )
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        th = batch.column("text_hash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((docs, th))
+        docs, th = docs[order], th[order]
+        first = np.concatenate([[True], th[1:] != th[:-1]])
+        first_idx = np.maximum.accumulate(np.where(first, np.arange(len(docs)), 0))
+        rank = np.arange(len(docs)) - first_idx
+        gsize = np.bincount(first_idx, minlength=len(docs))[first_idx]
+        return pa.table(
+            {
+                "doc_id": pa.array(docs.astype(np.int64)),
+                "dup_rank": pa.array(rank.astype(np.int64)),
+                "group_n": pa.array(gsize.astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(sig_hash, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sig")
+        .map_groups(ranks, batch_format="pyarrow")
+    )
+
+
+def q_corpus_geo_res(sf_dir: str):
+    """Value-oracled flagship parse leg: every interleaved geo span parses
+    to a VALID cell whose resolution equals the synthesized 5 + doc_id % 4
+    — SQL reproduces both from the corpus formulas."""
+    from .. import corpus as corpus_mod
+    from ..h3core import bits
+
+    def k(batch: pa.Table) -> pa.Table:
+        docs = corpus_mod.interleave_documents(batch)
+        geo = corpus_mod.extract_geo_spans(docs)
+        parsed = kernels.cells_parse(geo, "geo_text")
+        cells = parsed.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": parsed.column("doc_id"),
+                "res": pa.array(bits.get_resolution(cells).astype(np.int64)),
+                "valid": pa.array(bits.is_valid_cell(cells)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES.update(
     {
         "raster_cells": q_raster_cells,
+        "raster_pixel_agg": q_raster_pixel_agg,
         "rasterize_roundtrip": q_rasterize_roundtrip,
         "grid_disk_aggregate_k": q_grid_disk_aggregate_k,
+        "disk_agg_totals": q_disk_agg_totals,
+        "minhash_dup_rank": q_minhash_dup_rank,
+        "corpus_geo_res": q_corpus_geo_res,
     }
 )
 
@@ -826,9 +990,10 @@ QUERIES.update({"flagship_resumable": q_flagship_resumable})
 
 def q_pip_join_salted(sf_dir: str):
     """The same flagship join semantics through the *shuffle* path: both
-    sides keyed by cover cell, hot-cell salting, groupby co-group.  Shares
-    the pip_join SQL BETWEEN oracle."""
-    nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
+    sides streamed as Datasets and keyed by cover cell, hot-cell salting,
+    groupby co-group — the rectangle side's cover is computed inside its
+    own map_batches stage (no driver-side materialization).  Shares the
+    pip_join SQL BETWEEN oracle."""
 
     def add_coords(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
@@ -840,13 +1005,27 @@ def q_pip_join_salted(sf_dir: str):
             }
         )
 
+    def nation_to_rects(batch: pa.Table) -> pa.Table:
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat0 = ((nk * 11 % 140) - 70).astype(np.float64)
+        lng0 = ((nk * 29 % 340) - 170).astype(np.float64)
+        return pa.table(
+            {
+                "rect_id": pa.array(nk),
+                "lng0": pa.array(lng0),
+                "lat0": pa.array(lat0),
+                "lng1": pa.array(lng0 + 13),
+                "lat1": pa.array(lat0 + 9),
+            }
+        )
+
     pds = _events(sf_dir).map_batches(
         add_coords, batch_format="pyarrow", zero_copy_batch=True
     )
-    out = join_mod.pip_join_shuffle(
-        pds, nk, lng0.astype(np.float64), lat0.astype(np.float64),
-        lng1.astype(np.float64), lat1.astype(np.float64), res=3, salt=4,
-    )
+    rds = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(nation_to_rects, batch_format="pyarrow", zero_copy_batch=True)
+    out = join_mod.pip_join_shuffle(pds, rds, res=3, salt=4)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -861,6 +1040,41 @@ def q_pip_join_salted(sf_dir: str):
 
 QUERIES.update({"pip_join_salted": q_pip_join_salted})
 ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})
+ORACLE_SQL.update(
+    {
+        "disk_agg_totals": """
+            SELECT event_id, CAST(19 AS BIGINT) AS n_disk,
+                   CAST(30 AS BIGINT) AS sum_k, CAST(19 AS BIGINT) AS n_list
+            FROM events
+        """,
+        "minhash_dup_rank": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) - 1
+                        AS BIGINT) AS dup_rank,
+                   CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS group_n
+            FROM documents
+        """,
+        "corpus_geo_res": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(5 + doc_id % 4 AS BIGINT) AS res,
+                   TRUE AS valid
+            FROM documents
+        """,
+        "raster_pixel_agg": """
+            SELECT p.p_partkey,
+                   COUNT(*) AS n,
+                   CAST(SUM((p.p_partkey + 7*i.g + 13*j.g) % 4) AS BIGINT) AS sum_v,
+                   COUNT(*) * 7 AS sum_res,
+                   COUNT(*) AS n_valid
+            FROM part p
+            CROSS JOIN (SELECT unnest(range(40)) AS g) i
+            CROSS JOIN (SELECT unnest(range(40)) AS g) j
+            WHERE p.p_partkey % 16 = 0
+              AND (p.p_partkey + 7*i.g + 13*j.g) % 4 != 0
+            GROUP BY p.p_partkey
+        """,
+    }
+)
 
 
 def q_dissolve(sf_dir: str):

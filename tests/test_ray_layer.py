@@ -229,9 +229,12 @@ def test_shuffle_join_equals_broadcast(ray_session):
     ref_pairs = sorted(
         zip(ref.column("point_id").to_pylist(), ref.column("rect_id").to_pylist())
     )
+    rects = pa.table({"rect_id": pa.array(nk), "lng0": pa.array(lng0),
+                      "lat0": pa.array(lat0), "lng1": pa.array(lng1),
+                      "lat1": pa.array(lat1)})
     out = join_mod.pip_join_shuffle(
         ray.data.from_arrow(pts).repartition(4),
-        nk, lng0, lat0, lng1, lat1, res=3, salt=3,
+        ray.data.from_arrow(rects).repartition(2), res=3, salt=3,
     ).take_all()
     got = sorted((r["point_id"], r["rect_id"]) for r in out)
     assert got == ref_pairs
@@ -294,9 +297,12 @@ def test_salted_join_under_skew(ray_session):
         zip(ref.column("point_id").to_pylist(), ref.column("rect_id").to_pylist())
     )
     assert len(ref_pairs) > 500  # the skew actually hits the rects
+    rects = pa.table({"rect_id": pa.array(nk), "lng0": pa.array(lng0),
+                      "lat0": pa.array(lat0), "lng1": pa.array(lng1),
+                      "lat1": pa.array(lat1)})
     out = join_mod.pip_join_shuffle(
         ray.data.from_arrow(pts).repartition(4),
-        nk, lng0, lat0, lng1, lat1, res=5, salt=4,
+        ray.data.from_arrow(rects).repartition(2), res=5, salt=4,
     ).take_all()
     got = sorted((r["point_id"], r["rect_id"]) for r in out)
     assert got == ref_pairs
