@@ -81,19 +81,45 @@ def merge_topk(partials: pa.Table, k: int = 10) -> pa.Table:
     )
 
 
+def _reduce_topk(partials_ds, k: int, fanin: int = 8) -> pa.Table:
+    """Two-level tree reduce inside Ray: per-partition prune to Q*k rows,
+    then one final single-partition merge.  merge_topk is associative and
+    monotone, so any partitioning of the partial rows yields the same
+    result; the driver only ever pulls the final Q*k-row table."""
+    import ray
+
+    level1 = partials_ds.repartition(fanin).map_batches(
+        lambda b: merge_topk(b, k), batch_format="pyarrow", batch_size=None
+    )
+    final = level1.repartition(1).map_batches(
+        lambda b: merge_topk(b, k), batch_format="pyarrow", batch_size=None
+    )
+    tables = [t for t in ray.get(final.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return merge_topk(
+            pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            ),
+            k,
+        )
+    return pa.concat_tables(tables)
+
+
 def bruteforce_topk(ds, query_ids, query_matrix, k: int = 10,
                     emb_col: str = "embedding", id_col: str = "vec_id"):
     """Dataset-level brute-force ANN: broadcast queries, partial top-k per
-    batch, bounded final merge."""
+    batch, tree-reduced merge (no full-partial-set driver concat)."""
     import ray
 
     qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
     kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
     partials = ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
-    tables = ray.get(partials.to_arrow_refs())
-    merged = pa.concat_tables([t for t in tables if t.num_rows])
-    return merge_topk(merged, k)
+    return _reduce_topk(partials, k)
 
 
 # --- IVF --------------------------------------------------------------------
@@ -151,9 +177,53 @@ def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
     qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
     kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
     partials = filtered.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
-    tables = ray.get(partials.to_arrow_refs())
-    merged = pa.concat_tables([t for t in tables if t.num_rows])
-    out = merge_topk(merged, k)
     # mask results whose query did not probe the bucket is unnecessary for
     # recall measurement; exactness caveat documented (ANN)
-    return out
+    return _reduce_topk(partials, k)
+
+
+# --- partitioned IVF index (the persisted scale path) ------------------------
+
+
+def ivf_build(ds, centroids: np.ndarray, index_dir: str,
+              emb_col: str = "embedding"):
+    """One-time partitioned index build: assign every vector to its nearest
+    centroid and write parquet partitioned by ``ivf_bucket`` (one directory
+    per bucket).  Queries then read ONLY their probed bucket directories —
+    probe pruning prunes I/O, not just compute."""
+    import ray
+
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+    assigned = ds.map_batches(
+        make_ivf_assign_kernel(cref, emb_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    assigned.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    return index_dir
+
+
+def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
+                         centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+                         emb_col: str = "embedding", id_col: str = "vec_id"):
+    """Search a persisted IVF index: only the probed bucket partitions are
+    read from storage.  Returns (topk_table, n_buckets_read)."""
+    import os
+
+    import ray
+
+    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    probes = np.argsort(-(qmat @ np.asarray(centroids).T), axis=1)[:, :n_probe]
+    wanted = sorted(int(b) for b in np.unique(probes))
+    import glob as _glob
+
+    dirs = [
+        os.path.join(index_dir, f"ivf_bucket={b}")
+        for b in wanted
+        if os.path.isdir(os.path.join(index_dir, f"ivf_bucket={b}"))
+    ]
+    paths = [f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    ds = ray.data.read_parquet(paths, columns=[id_col, emb_col])
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
+    partials = ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    return _reduce_topk(partials, k), len(dirs)

@@ -522,6 +522,34 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN through a PERSISTED bucket-partitioned index: build once
+    (write_parquet partitioned by ivf_bucket), then self-query the first 20
+    vectors reading only the probed bucket directories.  Self top-1 must be
+    the query itself (full value oracle); I/O pruning asserted in pytest."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..functions import ann as ann_fns
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    dim = len(flat) // t.num_rows
+    X = flat.reshape(t.num_rows, dim)
+    cent = ann_fns.train_centroids(X[:: max(1, t.num_rows // 256)], 16)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_")
+    ann_fns.ivf_build(ds, cent, index_dir)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
+    top, _ = ann_fns.ivf_topk_partitioned(index_dir, ids, X[:20], cent, k=1)
+    return pa.table(
+        {"query_id": top.column("query_id"), "vec_id": top.column("vec_id")}
+    )
+
+
 def q_media_features(sf_dir: str):
     """Interleaved corpus media spans -> synthesized payloads -> actor-pool
     decode (fake mode) -> features (rows-only; deterministic)."""
@@ -671,6 +699,7 @@ QUERIES.update(
         "simhash_bands": q_simhash_bands,
         "ann_top1": q_ann_top1,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "polyfill_rects": q_polyfill_rects,
         "localij": q_localij,
@@ -1040,6 +1069,7 @@ def q_pip_join_salted(sf_dir: str):
 
 QUERIES.update({"pip_join_salted": q_pip_join_salted})
 ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})
+ORACLE_SQL.update({"ann_ivf": ORACLE_SQL["ann_top1"]})
 ORACLE_SQL.update(
     {
         "disk_agg_totals": """

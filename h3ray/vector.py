@@ -108,9 +108,8 @@ def _dissolve_to_wkb(cells, lat, lng, off):
         rings.append(
             np.array([[p[1] / 1e7, p[0] / 1e7] for p in ring], dtype=np.float64)
         )
-    # group rings into polygons: treat each ccw ring as an outer shell
-    # (holes supported as additional rings of one multipolygon)
-    out = wkb.dumps_multipolygon([[r] for r in rings])
+    # classify rings: ccw shells, cw holes nested in their containing shell
+    out = wkb.dumps_multipolygon(group_rings(rings))
     return pa.array([out], type=pa.large_binary())
 
 
@@ -410,6 +409,50 @@ def _boundary_segments(cells: np.ndarray):
     return _cancel_packed(pts, pts[nxt])
 
 
+def _ring_signed_area(r: np.ndarray) -> float:
+    """Planar shoelace area of a closed (first==last) lng/lat ring: positive
+    for ccw (H3 boundary winding = outer shells), negative for holes."""
+    x, y = r[:, 0], r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _point_in_ring(pt, ring: np.ndarray) -> bool:
+    """Ray-casting point-in-ring (planar lng/lat)."""
+    x, y = float(pt[0]), float(pt[1])
+    xs, ys = ring[:-1, 0], ring[:-1, 1]
+    xe, ye = ring[1:, 0], ring[1:, 1]
+    cond = (ys > y) != (ye > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = xs + (y - ys) * (xe - xs) / (ye - ys)
+    return int((cond & (x < xint)).sum()) % 2 == 1
+
+
+def group_rings(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
+    """Classify stitched rings into polygons with holes: ccw rings are
+    shells, cw rings are holes assigned to the smallest containing shell
+    (matching h3o dissolve semantics, crates/h3arrow/src/array/to_geo.rs:
+    218-229).  Planar classification — valid away from the antimeridian,
+    like the rest of the planar dissolve."""
+    shells = []
+    holes = []
+    for r in rings:
+        (shells if _ring_signed_area(r) > 0 else holes).append(r)
+    polys = [[s] for s in shells]
+    for h in holes:
+        pt = h[0]
+        best, best_area = None, None
+        for idx, s in enumerate(shells):
+            if _point_in_ring(pt, s):
+                ar = abs(_ring_signed_area(s))
+                if best is None or ar < best_area:
+                    best, best_area = idx, ar
+        if best is not None:
+            polys[best].append(h)
+        else:  # orphan (shouldn't happen for valid cancellations)
+            polys.append([h[::-1].copy()])
+    return polys
+
+
 def _stitch_rings(segs) -> list[np.ndarray]:
     nxt = {a: b for (a, b) in segs}
     rings = []
@@ -455,19 +498,25 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
         a, b = _boundary_segments(cells)
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    import ray
+    def final_stitch(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a, b = _cancel_packed(a, b)
+        rings = _stitch_rings(list(zip(a.tolist(), b.tolist())))
+        out = wkb.dumps_multipolygon(group_rings(rings))
+        return pa.table({"wkb": pa.array([out], type=pa.large_binary())})
 
+    # the surviving-segment set is perimeter-bounded, so the final cancel +
+    # stitch runs as ONE Ray task over the repartitioned stream — no
+    # driver-side to_arrow_refs materialization
     seg_ds = (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("parent")
         .map_groups(group_segments, batch_format="pyarrow")
     )
-    tables = [t for t in ray.get(seg_ds.to_arrow_refs()) if t.num_rows]
-    if not tables:
+    rows = seg_ds.repartition(1).map_batches(
+        final_stitch, batch_format="pyarrow", batch_size=None
+    ).take(1)
+    if not rows:
         return wkb.dumps_multipolygon([])
-    seg_table = pa.concat_tables(tables)
-    a = seg_table.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-    b = seg_table.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-    a, b = _cancel_packed(a, b)
-    rings = _stitch_rings(list(zip(a.tolist(), b.tolist())))
-    return wkb.dumps_multipolygon([[r] for r in rings])
+    return rows[0]["wkb"]

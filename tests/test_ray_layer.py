@@ -306,3 +306,29 @@ def test_salted_join_under_skew(ray_session):
     ).take_all()
     got = sorted((r["point_id"], r["rect_id"]) for r in out)
     assert got == ref_pairs
+
+
+def test_ivf_partitioned_index_prunes_io(ray_session, tmp_path):
+    """ivf_build writes one directory per bucket; a query reads only its
+    probed buckets (I/O pruning) and self top-1 recall is exact."""
+    import os
+
+    import ray
+    import pyarrow.parquet as pq
+
+    from h3ray.functions import ann
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    flat = t.column("embedding").combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    X = flat.reshape(t.num_rows, len(flat) // t.num_rows)
+    cent = ann.train_centroids(X, 8)
+    ds = ray.data.from_arrow(t.select(["vec_id", "embedding"])).repartition(3)
+    idx = str(tmp_path / "ivf")
+    ann.ivf_build(ds, cent, idx)
+    buckets = [d for d in os.listdir(idx) if d.startswith("ivf_bucket=")]
+    assert len(buckets) >= 4  # vectors spread over several buckets
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:10]
+    top, n_read = ann.ivf_topk_partitioned(idx, ids, X[:10], cent, k=1, n_probe=2)
+    assert n_read < len(buckets)  # probe pruning actually pruned I/O
+    got = dict(zip(top.column("query_id").to_pylist(), top.column("vec_id").to_pylist()))
+    assert all(got[int(q)] == int(q) for q in ids)  # self top-1 recall

@@ -144,6 +144,26 @@ class TestVectorOps:
         assert len(g["parts"]) == 1  # one connected component
         assert len(g["parts"][0]["rings"][0]) == 19  # 18 verts + closure
 
+    def test_dissolve_annulus_has_hole(self):
+        """A polyfilled annulus dissolves to ONE polygon with ONE hole
+        (h3o dissolve hole semantics, crates/h3arrow/src/array/to_geo.rs:
+        218-229): the inner ring is wound opposite and nested, not emitted
+        as a second shell."""
+        from h3ray.h3core import traversal
+
+        c = faceijk.latlng_to_cell(np.array([20.0]), np.array([30.0]), 5)
+        _, disk, dist = traversal.grid_disk_distances(c, 4)
+        ann = disk[dist > 1]
+        merged = vector.cells_to_wkb_polygons(ann, link_cells=True)
+        g = wkb.loads(merged[0].as_py())
+        assert len(g["parts"]) == 1
+        rings = g["parts"][0]["rings"]
+        assert len(rings) == 2  # shell + hole
+        areas = [vector._ring_signed_area(np.asarray(r)) for r in rings]
+        assert areas[0] > 0 and areas[1] < 0  # shell ccw, hole cw
+        # the hole's vertices are inside the shell
+        assert vector._point_in_ring(np.asarray(rings[1])[0], np.asarray(rings[0]))
+
     def test_localij_golden(self):
         from h3ray.h3core import localij
 
