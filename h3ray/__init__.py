@@ -2,3 +2,4 @@
 
 from . import corpus, join, kernels, lineage, raster, vector  # noqa: F401
 from .dataset import H3Dataset  # noqa: F401
+from .h3core.polyfill import ContainmentMode  # noqa: F401

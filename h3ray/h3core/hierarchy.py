@@ -121,6 +121,10 @@ def compact(cells: np.ndarray, mixed_resolutions: bool = False) -> np.ndarray:
     res = bits.get_resolution(cells).astype(np.int64)
     if not mixed_resolutions and len(np.unique(res)) > 1:
         raise ValueError("input of compact has heterogen resolutions")
+    if len(np.unique(cells)) != len(cells):
+        # reference parity: compact refuses duplicated input
+        # (crates/h3arrow/src/algorithm/compact.rs:19-31)
+        raise ValueError("input of compact contains duplicate cells")
     out_parts = []
     cur = cells
     for r in range(int(res.max()), 0, -1):

@@ -26,6 +26,27 @@ from .faceijk import cell_to_latlng, latlng_to_cell
 
 MODES = ("containscentroid", "containsboundary", "intersectsboundary", "covers")
 
+
+from enum import Enum
+
+
+class ContainmentMode(Enum):
+    """Mirror of the reference's enum (h3ronpy/src/vector.rs:62-69);
+    every mode-taking function accepts the enum or its string form."""
+
+    ContainsCentroid = "containscentroid"
+    ContainsBoundary = "containsboundary"
+    IntersectsBoundary = "intersectsboundary"
+    Covers = "covers"
+
+
+def normalize_mode(containment_mode) -> str:
+    mode = getattr(containment_mode, "value", containment_mode)
+    mode = str(mode).lower().replace("_", "")
+    if mode not in MODES:
+        raise ValueError(f"unknown containment mode {containment_mode}")
+    return mode
+
 # conservative per-resolution cell metrics in degrees (global worst cases)
 _MIN_INRADIUS_DEG = {
     0: 4.0, 1: 1.5, 2: 0.55, 3: 0.2, 4: 0.075, 5: 0.028,
@@ -108,11 +129,9 @@ def _bbox_cover_cells(minx, miny, maxx, maxy, res: int) -> np.ndarray:
 
 
 def polygon_to_cells(
-    geom: dict, res: int, containment_mode: str = "containscentroid"
+    geom: dict, res: int, containment_mode="containscentroid"
 ) -> np.ndarray:
-    mode = containment_mode.lower().replace("_", "")
-    if mode not in MODES:
-        raise ValueError(f"unknown containment mode {containment_mode}")
+    mode = normalize_mode(containment_mode)
     rings = [np.asarray(r, dtype=np.float64) for r in _rings_of(geom)]
     rings = [r for r in rings if len(r) >= 4]
     if not rings:

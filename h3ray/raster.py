@@ -89,11 +89,22 @@ def _check_wgs84_extent(shape, transform: Transform):
         )
 
 
+def _apply_axis_order(axis_order: str):
+    if axis_order not in ("yx", "xy"):
+        raise ValueError(f"unknown axis_order {axis_order!r} (use 'yx' or 'xy')")
+    return axis_order == "xy"
+
+
 def nearest_h3_resolution(
-    shape, transform: Transform, search_mode: str = "min_diff"
+    shape, transform: Transform, axis_order: str = "yx",
+    search_mode: str = "min_diff",
 ) -> int:
     """Resolution whose cell area best matches the pixel area
-    (reference raster.py:63-74 / src/raster.rs:91-107)."""
+    (reference raster.py:63-74 / src/raster.rs:91-107); ``axis_order``
+    mirrors the reference parameter ('xy' arrays are column-major:
+    shape = (w, h))."""
+    if _apply_axis_order(axis_order):
+        shape = (shape[1], shape[0])
     _check_wgs84_extent(shape, transform)
     h, w = shape
     cy = transform.f + (transform.d * w + transform.e * h) / 2.0
@@ -116,14 +127,19 @@ def raster_to_cells(
     transform: Transform,
     h3_resolution: int,
     nodata_value=None,
+    axis_order: str = "yx",
     compact: bool = False,
 ):
     """2D array + transform -> (value, cell) arrays.
 
-    Cell value = raster value under the cell centroid (nodata skipped)."""
+    Cell value = raster value under the cell centroid (nodata skipped).
+    ``axis_order='xy'`` accepts (x, y)-ordered arrays and transposes them
+    (reference h3ronpy/python/h3ronpy/raster.py:82 parameter)."""
     values = np.asarray(values)
     if values.ndim != 2:
         raise ValueError("expected a 2D array")
+    if _apply_axis_order(axis_order):
+        values = values.T
     h, w = values.shape
     _check_wgs84_extent(values.shape, transform)
     # bbox of the raster in geo space
@@ -168,7 +184,7 @@ def raster_to_cells(
 def raster_to_table(
     values, transform, h3_resolution, nodata_value=None, compact=False
 ) -> pa.Table:
-    v, c = raster_to_cells(values, transform, h3_resolution, nodata_value, compact)
+    v, c = raster_to_cells(values, transform, h3_resolution, nodata_value, compact=compact)
     return pa.table({"value": pa.array(v), "cell": pa.array(c)})
 
 
@@ -225,7 +241,7 @@ def make_tile_kernel(h3_resolution: int, nodata_value=None, compact: bool = Fals
             arr = np.frombuffer(
                 batch.column(pcol)[i].as_py(), dtype=np.dtype(dtype)
             ).reshape(h, w)
-            v, c = raster_to_cells(arr, t, h3_resolution, nodata_value, compact)
+            v, c = raster_to_cells(arr, t, h3_resolution, nodata_value, compact=compact)
             vs.append(v)
             cs.append(c)
         if not vs:

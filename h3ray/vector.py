@@ -65,14 +65,7 @@ def cells_to_wkb_polygons(cells, radians: bool = False, link_cells: bool = False
         lat = np.radians(lat)
         lng = np.radians(lng)
     if not link_cells:
-        out = []
-        for i in range(len(cells)):
-            ring = np.stack(
-                [lng[off[i]:off[i + 1]], lat[off[i]:off[i + 1]]], axis=1
-            )
-            ring = np.vstack([ring, ring[:1]])  # close
-            out.append(wkb.dumps_polygon([ring]))
-        return pa.array(out, type=pa.large_binary())
+        return wkb.dumps_ring_polygons_batch(lng, lat, off)
     # dissolve: drop shared edges, stitch remaining segments into rings
     return _dissolve_to_wkb(cells, lat, lng, off)
 
@@ -115,10 +108,7 @@ def _dissolve_to_wkb(cells, lat, lng, off):
 
 def cells_to_wkb_points(cells, radians: bool = False):
     lat, lng = cells_to_coordinates(cells, radians=radians)
-    return pa.array(
-        [wkb.dumps_point(lo, la) for la, lo in zip(lat, lng)],
-        type=pa.large_binary(),
-    )
+    return wkb.dumps_points_batch(np.asarray(lng), np.asarray(lat))
 
 
 def vertexes_to_wkb_points(vertexes, radians: bool = False):
@@ -128,12 +118,10 @@ def vertexes_to_wkb_points(vertexes, radians: bool = False):
     owner = vertex_owner(vx)
     vert_num = bits.get_reserved(vx).astype(np.int64)
     lat, lng, off = boundary.cell_boundary(owner)
-    out = []
-    for i in range(len(vx)):
-        n = off[i + 1] - off[i]
-        v = min(vert_num[i], n - 1)
-        out.append(wkb.dumps_point(lng[off[i] + v], lat[off[i] + v]))
-    return pa.array(out, type=pa.large_binary())
+    counts = np.diff(off)
+    v = np.minimum(vert_num, counts - 1)
+    idx = off[:-1] + v
+    return wkb.dumps_points_batch(lng[idx], lat[idx])
 
 
 def directededges_to_wkb_linestrings(edges, radians: bool = False):

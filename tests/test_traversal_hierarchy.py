@@ -102,3 +102,44 @@ def test_change_resolution_paired():
     assert (bits.get_resolution(b) == 8).all()
     assert (bits.get_resolution(a) == 9).all()
     assert (bits.cell_to_parent(a, np.uint64(8)) == b).all()
+
+
+def test_compact_rejects_duplicates():
+    """Reference parity: compact raises on duplicated input
+    (h3ronpy/tests/arrow/test_compact.py error-path behavior)."""
+    import pytest
+
+    from h3ray.h3core import faceijk, hierarchy
+
+    c = faceijk.latlng_to_cell(np.array([10.0, 10.0]), np.array([20.0, 20.0]), 5)
+    with pytest.raises(ValueError, match="duplicate"):
+        hierarchy.compact(c)
+
+
+def test_grid_disk_list_matches_flat():
+    """grid_disk_list / grid_disk_distances_list agree with the flat
+    traversal output per origin (set parity; offsets consistent; empty
+    batch safe)."""
+    import pyarrow as pa
+
+    from h3ray import kernels
+    from h3ray.h3core import faceijk, traversal
+
+    cells = faceijk.latlng_to_cell(
+        np.array([10.0, 52.5, -33.0]), np.array([20.0, 13.4, 151.0]), 6
+    )
+    t = pa.table({"cell": pa.array(cells)})
+    rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+    lists = kernels.grid_disk_list(t, 2).column("disk")
+    both = kernels.grid_disk_distances_list(t, 2)
+    for r in range(len(cells)):
+        flat_set = set(disk[rows == r].tolist())
+        assert set(lists[r].as_py()) == flat_set
+        assert set(both.column("disk")[r].as_py()) == flat_set
+        # per-element distances agree with the flat (cell -> k) mapping
+        dmap = {int(c): int(k) for c, k in zip(disk[rows == r], dist[rows == r])}
+        got = dict(zip(both.column("disk")[r].as_py(), both.column("k")[r].as_py()))
+        assert got == dmap
+    empty = pa.table({"cell": pa.array([], type=pa.uint64())})
+    assert kernels.grid_disk_list(empty, 2).num_rows == 0
+    assert kernels.grid_disk_distances_list(empty, 2).num_rows == 0

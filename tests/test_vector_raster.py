@@ -187,7 +187,7 @@ class TestRaster:
     def test_nearest_resolution(self):
         assert raster.nearest_h3_resolution(self.arr.shape, self.t) == 8
         assert raster.nearest_h3_resolution(
-            self.arr.shape, self.t, "smaller_than_pixel"
+            self.arr.shape, self.t, search_mode="smaller_than_pixel"
         ) >= 8
 
     def test_raster_to_cells(self):
@@ -297,3 +297,29 @@ def test_transform_cmp():
     t = raster.Transform(0.1, 0.0, -10.0, 0.0, -0.1, 50.0)
     assert raster.Transform.from_gdal((-10.0, 0.1, 0.0, 50.0, 0.0, -0.1)) == t
     assert raster.Transform.from_rasterio((0.1, 0.0, -10.0, 0.0, -0.1, 50.0)) == t
+
+
+def test_raster_axis_order_and_mode_enum():
+    """axis_order='xy' transposes to the same cells as the 'yx' default;
+    ContainmentMode enum values are accepted wherever mode strings are."""
+    import h3ray
+    from h3ray import raster
+    from h3ray.h3core import polyfill
+
+    t = raster.Transform(0.01, 0, 10.0, 0, -0.01, 50.0)
+    arr = (np.arange(30 * 20).reshape(30, 20) % 5).astype(np.int32)
+    v1, c1 = raster.raster_to_cells(arr, t, 8, nodata_value=0)
+    v2, c2 = raster.raster_to_cells(arr.T, t, 8, nodata_value=0, axis_order="xy")
+    assert np.array_equal(v1, v2) and np.array_equal(c1, c2)
+    assert raster.nearest_h3_resolution(arr.shape, t) == raster.nearest_h3_resolution(
+        arr.T.shape, t, axis_order="xy"
+    )
+    ring = np.array([[10.0, 49.9], [10.15, 49.9], [10.15, 50.0], [10.0, 50.0], [10.0, 49.9]])
+    geom = {"type": "Polygon", "rings": [ring]}
+    a = polyfill.polygon_to_cells(geom, 6, "contains_centroid")
+    b = polyfill.polygon_to_cells(geom, 6, h3ray.ContainmentMode.ContainsCentroid)
+    assert np.array_equal(a, b)
+    import pytest
+
+    with pytest.raises(ValueError, match="axis_order"):
+        raster.raster_to_cells(arr, t, 8, axis_order="zz")
