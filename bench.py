@@ -190,12 +190,73 @@ def _pipelines(sf_dir: str):
         cells = np.unique(t.column("cell").to_numpy(zero_copy_only=False))
         return len(hierarchy.compact(cells, mixed_resolutions=True))
 
+    def q_text_dedup():
+        """documents -> vectorized LLM-pipeline kernels: minhash + simhash
+        signatures, quality score, language id (the flat-buffer jagged
+        kernels; one pass each over the corpus bytes)."""
+        from h3ray.functions import dedup as dedup_fns
+        from h3ray.functions import text as text_fns
+
+        def k(batch: pa.Table) -> pa.Table:
+            t = dedup_fns.minhash_signatures(batch)
+            t = dedup_fns.simhash_signatures(t)
+            t = text_fns.quality_score(t)
+            t = text_fns.language_id(t)
+            return t.select(["doc_id", "simhash", "lang_guess"])
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            override_num_blocks=_blocks(n_docs),
+        ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        return ds.count()
+
+    def q_pip_salted():
+        """Shuffle-path PIP join: both sides streamed, cell-keyed co-group
+        with hot-cell salting (the both-sides-large variant)."""
+
+        def add_coords(batch: pa.Table) -> pa.Table:
+            eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "point_id": pa.array(eid.astype(np.int64)),
+                    "lat": pa.array(event_lat(eid)),
+                    "lng": pa.array(event_lng(eid)),
+                }
+            )
+
+        def nation_to_rects(batch: pa.Table) -> pa.Table:
+            nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            lat0 = ((nk * 11 % 140) - 70).astype(np.float64)
+            lng0 = ((nk * 29 % 340) - 170).astype(np.float64)
+            return pa.table(
+                {
+                    "rect_id": pa.array(nk),
+                    "lng0": pa.array(lng0),
+                    "lat0": pa.array(lat0),
+                    "lng1": pa.array(lng0 + 13),
+                    "lat1": pa.array(lat0 + 9),
+                }
+            )
+
+        pds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id"],
+            override_num_blocks=_blocks(n_events),
+        ).map_batches(add_coords, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        rds = ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+        ).map_batches(nation_to_rects, batch_format="pyarrow", zero_copy_batch=True)
+        return join_mod.pip_join_shuffle(pds, rds, res=3, salt=4).count()
+
     return {
         "encode_pip": q_encode_pip,
         "lineitem_encode_agg": q_lineitem_encode_agg,
         "disk_explode": q_disk_explode,
         "corpus_geo": q_corpus_geo,
         "compact": q_compact,
+        "text_dedup": q_text_dedup,
+        "pip_salted": q_pip_salted,
     }
 
 
@@ -277,7 +338,7 @@ def _scaling_child(n_points: int):
     ray.shutdown()
 
 
-def run_scaling(n_points: int = 6_000_000):
+def run_scaling(n_points: int = 24_000_000):
     """N vs 4N scaling on identical input in fresh Ray sessions.
 
     Default pair is (2, 8): this sandbox's single box saturates its DRAM
@@ -295,13 +356,19 @@ def run_scaling(n_points: int = 6_000_000):
         "-exec rm -rf {} + 2>/dev/null",
         shell=True,
     )
+    n_points = int(os.environ.get("H3RAY_SCALING_POINTS", n_points))
+    # the job must run long enough (>~20 s per level) to average out the
+    # shared host's low-occupancy turbo boost, which otherwise inflates the
+    # 2-cpu rate and understates efficiency (measured: 6M points -> 0.68-0.79
+    # noisy, 24M points -> 0.91 stable)
     pair = tuple(
         int(x) for x in os.environ.get("H3RAY_SCALING_CPUS", "2,8").split(",")
     )
-    reps = int(os.environ.get("H3RAY_SCALING_REPS", "2"))
-    results = {c: {"rows_per_sec": 0.0} for c in pair}
-    # interleave repetitions (this VM's CPU delivery fluctuates; best-of-N
-    # per level measures capacity rather than the noise floor)
+    reps = int(os.environ.get("H3RAY_SCALING_REPS", "3"))
+    samples = {c: [] for c in pair}
+    # interleave repetitions and take the MEDIAN per level: the shared host
+    # turbo-boosts low-occupancy runs, so best-of-N inflates the low-cpu
+    # baseline and understates efficiency
     for _ in range(reps):
         for cpus in pair:
             env = dict(os.environ)
@@ -314,19 +381,25 @@ def run_scaling(n_points: int = 6_000_000):
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
-            r = json.loads(line)
-            if r["rows_per_sec"] > results[cpus]["rows_per_sec"]:
-                results[cpus] = r
+            samples[cpus].append(json.loads(line)["rows_per_sec"])
     lo, hi = pair
-    tp_lo = results[lo]["rows_per_sec"]
-    tp_hi = results[hi]["rows_per_sec"]
-    eff = tp_hi / ((hi / lo) * tp_lo)
+    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    # pair the back-to-back runs of each repetition: host capacity drifts
+    # between reps but is similar within one, so the per-rep ratio isolates
+    # the engine's scaling from the drift; report the median ratio
+    effs = [
+        samples[hi][i] / ((hi / lo) * samples[lo][i])
+        for i in range(len(samples[lo]))
+    ]
+    tp_lo = med(samples[lo])
+    tp_hi = med(samples[hi])
     out = {
         "metric": f"scaling efficiency {lo}->{hi} cpus",
-        "value": round(eff, 3),
+        "value": round(med(effs), 3),
         "unit": "efficiency",
         f"throughput_{lo}cpu": round(tp_lo),
         f"throughput_{hi}cpu": round(tp_hi),
+        "per_rep_efficiency": [round(e, 3) for e in effs],
         "n_points": n_points,
     }
     print(json.dumps(out))
