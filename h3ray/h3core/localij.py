@@ -428,6 +428,70 @@ def _pent_inverse(anchors, coord, res_arr):
     return out, found
 
 
+def grid_distance(a: np.ndarray, b: np.ndarray):
+    """Grid distance between cell pairs via local IJ (the H3 gridDistance
+    construction: unfold b into a's frame, hex-distance the coordinates).
+    Returns (dist, ok); ok=False where the unfold fails (res mismatch,
+    non-adjacent base cells, ambiguous pentagon folds)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    ia, ja, oka = cells_to_localij(a, a)
+    ib, jb, okb = cells_to_localij(b, a)
+    di = ib.astype(np.int64) - ia.astype(np.int64)
+    dj = jb.astype(np.int64) - ja.astype(np.int64)
+    coord = ijk.normalize(np.stack([di, dj, np.zeros_like(di)], axis=1))
+    return np.abs(coord).max(axis=1), oka & okb
+
+
+def grid_path_cells(a: np.ndarray, b: np.ndarray):
+    """Minimal cell path between pairs (H3 gridPathCells construction:
+    cube-lerp in a's local IJ frame, rounded per step, decoded back).
+    Returns (row_idx, path_cells, ok_mask); path rows include both
+    endpoints in order, row_idx maps each path cell to its input pair."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    n = len(a)
+    dist, ok = grid_distance(a, b)
+    ia, ja, _ = cells_to_localij(a, a)
+    ib, jb, okb = cells_to_localij(b, a)
+    steps = np.where(ok, dist, 0).astype(np.int64)
+    counts = steps + 1
+    total = int(counts.sum())
+    row = np.repeat(np.arange(n), counts)
+    t_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    frac = t_idx / np.maximum(steps[row], 1)
+    # axial (i, j) -> cube (X, Y, Z) = (i, j-i, -j): the hex metric
+    # max(|di|, |dj|, |di-dj|) equals cube (|X|+|Y|+|Z|)/2
+    def cube(iv, jv):
+        iv = iv.astype(np.float64)
+        jv = jv.astype(np.float64)
+        return iv, jv - iv, -jv
+
+    X0, Y0, Z0 = cube(ia[row], ja[row])
+    X1, Y1, Z1 = cube(ib[row], jb[row])
+    X = X0 + (X1 - X0) * frac
+    Y = Y0 + (Y1 - Y0) * frac
+    Z = Z0 + (Z1 - Z0) * frac
+    rX, rY, rZ = np.round(X), np.round(Y), np.round(Z)
+    dX, dY, dZ = np.abs(rX - X), np.abs(rY - Y), np.abs(rZ - Z)
+    # largest-residual correction so the rounded triple stays on the plane
+    fixX = (dX >= dY) & (dX >= dZ)
+    fixY = ~fixX & (dY >= dZ)
+    fixZ = ~fixX & ~fixY
+    rX = np.where(fixX, -rY - rZ, rX)
+    rY = np.where(fixY, -rX - rZ, rY)
+    rZ = np.where(fixZ, -rX - rY, rZ)
+    pi = rX.astype(np.int64)
+    pj = (rX + rY).astype(np.int64)
+    cells, cok = localij_to_cells(a[row], pi, pj)
+    keep = ok[row] & cok
+    return row[keep], cells[keep], ok & (
+        np.bincount(row[keep], minlength=n) == counts
+    )
+
+
 def localij_to_cells(anchors: np.ndarray, i: np.ndarray, j: np.ndarray):
     """Inverse: local (i, j) relative to anchors -> cells.
 

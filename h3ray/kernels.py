@@ -476,3 +476,40 @@ def grid_disk_distances_list(
 
 
 
+
+
+def grid_distance(
+    batch: pa.Table, a_col: str = "cell", b_col: str = "other",
+    out_col: str = "distance",
+) -> pa.Table:
+    """Pairwise grid distance via the local-IJ unfold (the H3 gridDistance
+    construction; exact within a base cell and across seams, with the same
+    far-corner distortion caveat as the C library).  Appends
+    {out_col: int64, out_col+'_ok': bool}."""
+    from .h3core import localij
+
+    a = _u64(batch, a_col)
+    b = _u64(batch, b_col)
+    d, ok = localij.grid_distance(a, b)
+    batch = _append(batch, out_col, pa.array(d.astype(np.int64)))
+    return _append(batch, out_col + "_ok", pa.array(ok))
+
+
+def grid_path_cells(
+    batch: pa.Table, a_col: str = "cell", b_col: str = "other",
+    out_col: str = "path",
+) -> pa.Table:
+    """Minimal cell path per pair as large_list<u64> (H3 gridPathCells
+    construction: cube-lerp in local IJ, candidate-verified decode).
+    Failing pairs get empty lists with ok=False."""
+    from .h3core import localij
+
+    a = _u64(batch, a_col)
+    b = _u64(batch, b_col)
+    rows, cells, ok = localij.grid_path_cells(a, b)
+    counts = np.bincount(rows, minlength=len(a))
+    offsets = np.zeros(len(a) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(cells))
+    batch = _append(batch, out_col, lists)
+    return _append(batch, out_col + "_ok", pa.array(ok))

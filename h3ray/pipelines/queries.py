@@ -910,6 +910,40 @@ def q_disk_agg_totals(sf_dir: str):
     return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_grid_distance_path(sf_dir: str):
+    """Value-oracled gridDistance/gridPathCells (localij-based, an operator
+    family the reference lacks): over each constructed cell's k=2 disk the
+    unfolded distances must reproduce the BFS rings (sum 30 over 19
+    members) and minimal paths must contain distance+1 cells (sum 49) —
+    all SQL constants.  Exercises the full localij forward+inverse per
+    path step."""
+    from ..h3core import localij as localij_mod
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+        d, ok = localij_mod.grid_distance(cells[rows], disk)
+        prow, pcells, pok = localij_mod.grid_path_cells(cells[rows], disk)
+        n_pairs = np.bincount(rows[ok], minlength=len(cells))
+        sum_d = np.bincount(rows[ok], weights=d[ok].astype(np.float64),
+                            minlength=len(cells)).astype(np.int64)
+        path_per_pair = np.bincount(prow, minlength=len(rows))
+        n_path = np.bincount(rows, weights=path_per_pair.astype(np.float64),
+                             minlength=len(cells)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "n_pairs": pa.array(n_pairs.astype(np.int64)),
+                "sum_d": pa.array(sum_d),
+                "n_path_cells": pa.array(n_path),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_minhash_dup_rank(sf_dir: str):
     """Value-oracled exact-dedup leg of the MinHash pipeline: docs grouped
     by full 64-hash signature (identical texts always collide), then
@@ -1003,6 +1037,7 @@ QUERIES.update(
         "grid_disk_aggregate_k": q_grid_disk_aggregate_k,
         "disk_agg_totals": q_disk_agg_totals,
         "minhash_dup_rank": q_minhash_dup_rank,
+        "grid_distance_path": q_grid_distance_path,
         "corpus_geo_res": q_corpus_geo_res,
     }
 )
@@ -1075,6 +1110,12 @@ ORACLE_SQL.update(
         "disk_agg_totals": """
             SELECT event_id, CAST(19 AS BIGINT) AS n_disk,
                    CAST(30 AS BIGINT) AS sum_k, CAST(19 AS BIGINT) AS n_list
+            FROM events
+        """,
+        "grid_distance_path": """
+            SELECT event_id, CAST(19 AS BIGINT) AS n_pairs,
+                   CAST(30 AS BIGINT) AS sum_d,
+                   CAST(49 AS BIGINT) AS n_path_cells
             FROM events
         """,
         "minhash_dup_rank": """

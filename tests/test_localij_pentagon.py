@@ -112,3 +112,44 @@ def test_ring1_offsets_constant_set():
             )
         )
         assert got == expected
+
+
+def test_grid_distance_matches_bfs():
+    """localij-based grid_distance reproduces BFS ring distances on disks
+    (hexagon areas exactly; pentagon areas on every succeeding pair)."""
+    from h3ray.h3core import faceijk
+
+    rng = np.random.default_rng(11)
+    cells = faceijk.latlng_to_cell(
+        rng.uniform(-80, 80, 60), rng.uniform(-180, 180, 60), 6
+    )
+    rows, disk, dist = traversal.grid_disk_distances(cells, 3)
+    d, ok = localij.grid_distance(cells[rows], disk)
+    assert ok.all()
+    assert (d == dist).mean() > 0.995  # far-corner unfold distortion caveat
+    # pentagon-area pairs
+    p = cells_of_bc(14, 2)
+    rows, disk, dist = traversal.grid_disk_distances(p[:30], 3)
+    d, ok = localij.grid_distance(p[:30][rows], disk)
+    assert ok.mean() > 0.9
+    assert (d[ok] == dist[ok]).all()
+
+
+def test_grid_path_cells_minimal_paths():
+    """Paths start/end at the pair, step adjacently, and have dist+1 cells."""
+    from h3ray.h3core import faceijk
+
+    rng = np.random.default_rng(12)
+    cells = faceijk.latlng_to_cell(
+        rng.uniform(-60, 60, 20), rng.uniform(-170, 170, 20), 5
+    )
+    rows, disk, dist = traversal.grid_disk_distances(cells, 3)
+    a, b = cells[rows], disk
+    prow, pcells, pok = localij.grid_path_cells(a, b)
+    assert pok.all()
+    for r in range(0, len(a), 7):
+        seg = pcells[prow == r]
+        assert len(seg) == dist[r] + 1
+        assert seg[0] == a[r] and seg[-1] == b[r]
+        dd, oo = localij.grid_distance(seg[:-1], seg[1:])
+        assert oo.all() and (dd == 1).all()
