@@ -329,6 +329,108 @@ def embedding_lsh_buckets(batch: pa.Table, emb_col: str = "embedding",
     )
 
 
+def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
+                             doc_col: str = "vec_id", planes: int = 16,
+                             threshold: float = 0.95, hot_threshold: int = 2048,
+                             hot_parts: int = 4):
+    """Embedding near-dup pairs: hyperplane-LSH buckets -> exact cosine
+    verify per bucket, with *triangle salting* for hot buckets.
+
+    A bucket larger than ``hot_threshold`` would be one straggler group, so
+    its rows are hash-assigned to ``hot_parts`` parts and every row is
+    replicated to the task of each part pair (p, q) with p <= min/max
+    ordering; task (p, q) verifies only cross-(p, q) (or within-p when
+    p == q) pairs, so every unordered pair is computed exactly once and the
+    all-pairs work spreads over hot_parts*(hot_parts+1)/2 tasks.  The hot
+    set is found by a tiny count aggregate and broadcast via ray.put."""
+    import ray
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        return embedding_lsh_buckets(batch, emb_col, doc_col, planes)
+
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    counts = buckets.groupby("bucket").count().take_all()  # <= 2^planes rows
+    hot = {
+        int(r["bucket"]) for r in counts if r["count()"] > hot_threshold
+    }
+    hot_ref = ray.put(hot)
+    g = hot_parts
+
+    def expand(batch: pa.Table) -> pa.Table:
+        hotset = ray.get(hot_ref) if isinstance(hot_ref, ray.ObjectRef) else hot_ref
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        ids = batch.column(doc_col).to_numpy(zero_copy_only=False)
+        is_hot = np.isin(b, np.array(sorted(hotset), dtype=b.dtype)) if hotset else np.zeros(len(b), bool)
+        part = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(60)).astype(np.int64) % g
+        out_idx = []
+        out_tp = []
+        out_part = []
+        cold = np.nonzero(~is_hot)[0]
+        out_idx.append(cold)
+        out_tp.append(np.full(len(cold), -1, dtype=np.int64))
+        out_part.append(np.zeros(len(cold), dtype=np.int64))
+        hot_rows = np.nonzero(is_hot)[0]
+        for q in range(g):  # each hot row joins tasks (min(p,q), max(p,q))
+            p = part[hot_rows]
+            tp = np.minimum(p, q) * g + np.maximum(p, q)
+            out_idx.append(hot_rows)
+            out_tp.append(tp)
+            out_part.append(p.copy())
+        idx = np.concatenate(out_idx)
+        t = batch.take(pa.array(idx))
+        t = t.append_column("tp", pa.array(np.concatenate(out_tp)))
+        return t.append_column("part", pa.array(np.concatenate(out_part)))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        tp = int(batch.column("tp")[0].as_py())
+        n = len(batch)
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if n < 2:
+            return empty
+        flat = batch.column(emb_col).combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        )
+        dim = len(flat) // n
+        x = flat.reshape(n, dim).astype(np.float64)
+        norm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(norm == 0, 1.0, norm)
+        ids = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if tp < 0:  # cold bucket: plain upper-triangle all-pairs
+            sim = x @ x.T
+            iu, ju = np.triu_indices(n, k=1)
+            sims = sim[iu, ju]
+        else:
+            p, q = divmod(tp, g)
+            prt = batch.column("part").to_numpy(zero_copy_only=False)
+            if p == q:  # within-part pairs (rows appear once here)
+                sim = x @ x.T
+                iu, ju = np.triu_indices(n, k=1)
+                sims = sim[iu, ju]
+            else:  # cross-part pairs only — each unordered pair exactly once
+                m1 = np.nonzero(prt == p)[0]
+                m2 = np.nonzero(prt == q)[0]
+                if len(m1) == 0 or len(m2) == 0:
+                    return empty
+                sim = x[m1] @ x[m2].T
+                gi, gj = np.meshgrid(
+                    np.arange(len(m1)), np.arange(len(m2)), indexing="ij"
+                )
+                iu, ju = m1[gi.ravel()], m2[gj.ravel()]
+                sims = sim.ravel()
+        hit = sims >= threshold
+        a = np.minimum(ids[iu[hit]], ids[ju[hit]])
+        b = np.maximum(ids[iu[hit]], ids[ju[hit]])
+        return pa.table({"a": pa.array(a), "b": pa.array(b),
+                         "cosine": pa.array(sims[hit])})
+
+    expanded = buckets.map_batches(expand, batch_format="pyarrow")
+    return expanded.groupby(["bucket", "tp"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+
+
 def cosine_pairs_in_bucket(batch: pa.Table, emb_col: str = "embedding",
                            doc_col: str = "vec_id", threshold: float = 0.95) -> pa.Table:
     """Exact cosine verification within one LSH bucket."""

@@ -472,6 +472,24 @@ def q_simhash_bands(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_embedding_dup_pairs(sf_dir: str):
+    """Embedding cosine near-dup pairs via triangle-salted LSH (rows-only:
+    float thresholds; exact-vs-bruteforce parity locked in pytest)."""
+    from ..functions import dedup as dedup_fns
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    pairs = dedup_fns.embedding_dedup_pipeline(
+        ds, planes=4, threshold=0.3, hot_threshold=4096, hot_parts=4
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["a", "b"])
+
+    return pairs.map_batches(strip, batch_format="pyarrow")
+
+
 def q_ann_top1(sf_dir: str):
     """Brute-force cosine top-1 for the first 20 vectors: each query's best
     match must be itself (full value oracle)."""
@@ -573,6 +591,32 @@ def q_media_features(sf_dir: str):
     return out.map_batches(
         lambda b: b.select(["media_ref", "kind", "decoded_size"]),
         batch_format="pyarrow",
+    )
+
+
+def q_media_refs(sf_dir: str):
+    """Value-oracled multimodal plumbing: every interleaved media span's
+    (media_ref, kind) must survive the synthesize -> actor-pool decode
+    pipeline exactly once; DuckDB rebuilds the expected set from the corpus
+    formulas (one image per doc, one audio per doc over 200 chars)."""
+    from .. import corpus as corpus_mod
+    from ..functions import multimodal
+
+    def extract_media(batch: pa.Table) -> pa.Table:
+        docs = corpus_mod.interleave_documents(batch)
+        spans = docs.column("spans").combine_chunks()
+        flat = spans.flatten()
+        kinds = flat.field("kind").to_numpy(zero_copy_only=False)
+        is_media = (kinds == "image") | (kinds == "audio")
+        refs = flat.field("media_ref").take(pa.array(np.nonzero(is_media)[0]))
+        return multimodal.synthesize_media(pa.table({"media_ref": refs}))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).map_batches(extract_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = multimodal.media_pipeline(ds, mode="fake", concurrency=2, batch_size=128)
+    return out.map_batches(
+        lambda b: b.select(["media_ref", "kind"]), batch_format="pyarrow"
     )
 
 
@@ -697,10 +741,12 @@ QUERIES.update(
         "lang_quality": q_lang_quality,
         "minhash_pairs": q_minhash_pairs,
         "simhash_bands": q_simhash_bands,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_top1": q_ann_top1,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
+        "media_refs": q_media_refs,
         "polyfill_rects": q_polyfill_rects,
         "localij": q_localij,
         "localij_offsets": q_localij_offsets,
@@ -1111,6 +1157,16 @@ ORACLE_SQL.update(
             SELECT event_id, CAST(19 AS BIGINT) AS n_disk,
                    CAST(30 AS BIGINT) AS sum_k, CAST(19 AS BIGINT) AS n_list
             FROM events
+        """,
+        "media_refs": """
+            SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/0'
+                       AS media_ref,
+                   'image' AS kind
+            FROM documents
+            UNION ALL
+            SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/1',
+                   'audio'
+            FROM documents WHERE length(text) > 200
         """,
         "grid_distance_path": """
             SELECT event_id, CAST(19 AS BIGINT) AS n_pairs,

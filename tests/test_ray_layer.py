@@ -332,3 +332,43 @@ def test_ivf_partitioned_index_prunes_io(ray_session, tmp_path):
     assert n_read < len(buckets)  # probe pruning actually pruned I/O
     got = dict(zip(top.column("query_id").to_pylist(), top.column("vec_id").to_pylist()))
     assert all(got[int(q)] == int(q) for q in ids)  # self top-1 recall
+
+
+def test_embedding_dedup_pipeline_with_hot_bucket(ray_session):
+    """Triangle-salted embedding near-dup: pipeline pair set == brute-force
+    pair set, including buckets forced over the hot threshold (each
+    unordered pair computed exactly once — no duplicates, none missed)."""
+    import pyarrow as pa
+    import ray
+
+    from h3ray.functions import dedup
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16))
+    # a dense cluster (same direction + noise) that lands in one bucket
+    hub = rng.standard_normal(16)
+    cluster = hub[None, :] + 0.01 * rng.standard_normal((30, 16))
+    X = np.vstack([base, cluster])
+    ids = np.arange(len(X), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(X.astype(np.float32))),
+        }
+    )
+    # brute-force truth
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sim = Xn @ Xn.T
+    iu, ju = np.triu_indices(len(X), k=1)
+    truth = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(iu[sim[iu, ju] >= 0.95], ju[sim[iu, ju] >= 0.95])
+    }
+    assert len(truth) > 100  # the cluster actually produces pairs
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = dedup.embedding_dedup_pipeline(
+        ds, threshold=0.95, hot_threshold=8, hot_parts=3
+    ).take_all()
+    got = [(r["a"], r["b"]) for r in out]
+    assert len(got) == len(set(got))  # exactly-once per pair
+    assert set(got) == truth
