@@ -190,6 +190,33 @@ def dumps_linestrings_batch(lng0, lat0, lng1, lat1):
     return _binary_array(buf.reshape(-1), offsets)
 
 
+def dumps_linestrings_jagged(lng: np.ndarray, lat: np.ndarray, off: np.ndarray):
+    """One WKB linestring per jagged segment of (lng, lat) — vectorized."""
+    off = np.asarray(off, dtype=np.int64)
+    n = len(off) - 1
+    m = np.diff(off)
+    sizes = 9 + m * 16
+    rec_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(sizes, out=rec_off[1:])
+    out = np.empty(int(rec_off[-1]), dtype=np.uint8)
+    starts = rec_off[:-1]
+    out[starts] = 1
+    _u32_scatter(out, starts + 1, np.full(n, _LINESTRING, dtype=np.uint32))
+    _u32_scatter(out, starts + 5, m.astype(np.uint32))
+    coord_bytes = _f64_pairs_bytes(
+        np.asarray(lng, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    )
+    bytecounts = m * 16
+    bcum = np.cumsum(bytecounts) - bytecounts
+    dst = (
+        np.repeat(starts + 9, bytecounts)
+        + np.arange(int(bytecounts.sum()), dtype=np.int64)
+        - np.repeat(bcum, bytecounts)
+    )
+    out[dst] = coord_bytes
+    return _binary_array(out, rec_off)
+
+
 def dumps_ring_polygons_batch(lng: np.ndarray, lat: np.ndarray, off: np.ndarray):
     """One single-ring WKB polygon per jagged segment of (lng, lat), with
     ring closure appended — fully vectorized (byte scatters + one gather)."""

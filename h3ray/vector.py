@@ -126,15 +126,68 @@ def vertexes_to_wkb_points(vertexes, radians: bool = False):
 
 def directededges_to_wkb_linestrings(edges, radians: bool = False):
     """Edge -> shared-boundary linestring WKB (origin/destination shared
-    vertices, including any distortion vertex)."""
+    vertices, including any distortion vertex).  Vectorized: one union
+    lexsort finds per-edge shared vertices; a jagged batch writer emits the
+    linestrings."""
     edges = np.asarray(edges, dtype=np.uint64)
+    n = len(edges)
+    if n == 0:
+        return wkb.dumps_linestrings_jagged(
+            np.empty(0), np.empty(0), np.zeros(1, dtype=np.int64)
+        )
     o = directededge_origin(edges)
     d = directededge_destination(edges)
-    out = []
-    for i in range(len(edges)):
-        coords = _shared_boundary(o[i : i + 1], d[i : i + 1])
-        out.append(wkb.dumps_linestring(coords))
-    return pa.array(out, type=pa.large_binary())
+    lat_o, lng_o, off_o = boundary.cell_boundary(o)
+    lat_d, lng_d, off_d = boundary.cell_boundary(d)
+    ko = _pack_endpoints(lat_o, lng_o)
+    kd = _pack_endpoints(lat_d, lng_d)
+    eo = np.repeat(np.arange(n), np.diff(off_o))
+    ed = np.repeat(np.arange(n), np.diff(off_d))
+    edge_all = np.concatenate([eo, ed])
+    key_all = np.concatenate([ko, kd])
+    side_all = np.concatenate(
+        [np.zeros(len(ko), np.int8), np.ones(len(kd), np.int8)]
+    )
+    pos_all = np.concatenate([np.arange(len(ko)), np.full(len(kd), -1)])
+    order = np.lexsort((side_all, key_all, edge_all))
+    e_s, k_s, s_s, p_s = (
+        edge_all[order], key_all[order], side_all[order], pos_all[order]
+    )
+    same_next = np.zeros(len(e_s), dtype=bool)
+    same_next[:-1] = (e_s[1:] == e_s[:-1]) & (k_s[1:] == k_s[:-1])
+    # an origin vertex is shared iff a dest row with the same (edge, key)
+    # sits adjacent after the sort (side breaks ties: origin first)
+    shared_origin = (s_s == 0) & same_next
+    opos = np.sort(p_s[shared_origin])  # back to ring order per edge
+    se = eo[opos]
+    counts = np.bincount(se, minlength=n)
+    # fallback edges with no shared vertex: centroid segment
+    fb = counts == 0
+    if fb.any():
+        la, lo = cells_to_coordinates(np.concatenate([o[fb], d[fb]]))
+        nf = int(fb.sum())
+        fb_lng = np.stack([lo[:nf], lo[nf:]], axis=1)
+        fb_lat = np.stack([la[:nf], la[nf:]], axis=1)
+        out_counts = np.where(fb, 2, counts)
+        total = int(out_counts.sum())
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(out_counts, out=out_off[1:])
+        L = np.empty(total)
+        A = np.empty(total)
+        # scatter shared vertices
+        scum = np.cumsum(counts) - counts
+        wpos = np.arange(len(opos)) - scum[se]
+        L[out_off[:-1][se] + wpos] = lng_o[opos]
+        A[out_off[:-1][se] + wpos] = lat_o[opos]
+        fidx = np.nonzero(fb)[0]
+        L[out_off[:-1][fidx]] = fb_lng[:, 0]
+        L[out_off[:-1][fidx] + 1] = fb_lng[:, 1]
+        A[out_off[:-1][fidx]] = fb_lat[:, 0]
+        A[out_off[:-1][fidx] + 1] = fb_lat[:, 1]
+        return wkb.dumps_linestrings_jagged(L, A, out_off)
+    out_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_off[1:])
+    return wkb.dumps_linestrings_jagged(lng_o[opos], lat_o[opos], out_off)
 
 
 def _shared_boundary(o, d) -> np.ndarray:
