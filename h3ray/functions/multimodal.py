@@ -39,18 +39,39 @@ class DecodeMode(enum.Enum):
 
 def synthesize_media(batch: pa.Table, ref_col: str = "media_ref") -> pa.Table:
     """Deterministic fake payloads for media refs (corpus side): payload
-    bytes are a seeded function of the ref string."""
-    refs = batch.column(ref_col).combine_chunks().to_pylist()
-    payloads = []
-    kinds = []
-    for r in refs:
-        seed = abs(hash_ref(r)) % (2**32)
-        rng = np.random.default_rng(seed)
-        n = 256 + seed % 512
-        payloads.append(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
-        kinds.append("audio" if r and r.endswith("/1") else "image")
-    batch = batch.append_column("kind", pa.array(kinds, type=pa.string()))
-    return batch.append_column("payload", pa.array(payloads, type=pa.large_binary()))
+    bytes are a seeded counter-hash of the ref string — fully vectorized
+    (jagged FNV for the seed, one mixing pass for all payload bytes)."""
+    import pyarrow.compute as pc
+
+    from ._strkern import utf8_view
+    from .text import hash_u64_batch
+
+    refs = batch.column(ref_col)
+    n_rows = len(batch)
+    seeds = (hash_u64_batch(refs) % np.uint64(2**32)).astype(np.uint64)
+    lens = (256 + (seeds % np.uint64(512)).astype(np.int64))
+    off = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    total = int(off[-1])
+    seed_rep = np.repeat(seeds, lens)
+    t = np.arange(total, dtype=np.uint64) - np.repeat(off[:-1], lens).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = seed_rep * np.uint64(0x9E3779B97F4A7C15) + t * np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(29)
+    data = (v & np.uint64(0xFF)).astype(np.uint8)
+    payload = pa.Array.from_buffers(
+        pa.large_binary(), n_rows,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+    kind = pc.if_else(
+        pc.ends_with(pc.fill_null(refs, ""), pattern="/1"),
+        pa.scalar("audio", pa.string()),
+        pa.scalar("image", pa.string()),
+    )
+    if isinstance(kind, pa.ChunkedArray):
+        kind = kind.combine_chunks()
+    batch = batch.append_column("kind", kind)
+    return batch.append_column("payload", payload)
 
 
 def hash_ref(r: str) -> int:
