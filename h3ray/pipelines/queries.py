@@ -447,6 +447,21 @@ def q_lang_quality(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_lang_id(sf_dir: str):
+    """Value-oracled language heuristic: the stopword-profile guess is
+    reproduced exactly by a DuckDB twin (split + VALUES profile join +
+    window tie-break matching the kernel's dict-order strict-> rule)."""
+    from ..functions import text as text_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        t = text_fns.language_id(batch)
+        return t.select(["doc_id", "lang_guess"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash-LSH near-duplicate candidate pairs (rows-only; planted-pair
     detection validated in pytest)."""
@@ -739,6 +754,7 @@ QUERIES.update(
     {
         "text_quality": q_text_quality,
         "lang_quality": q_lang_quality,
+        "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
         "simhash_bands": q_simhash_bands,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1157,6 +1173,38 @@ ORACLE_SQL.update(
             SELECT event_id, CAST(19 AS BIGINT) AS n_disk,
                    CAST(30 AS BIGINT) AS sum_k, CAST(19 AS BIGINT) AS n_list
             FROM events
+        """,
+        "lang_id": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 300)) AS word
+              FROM documents
+            ),
+            profile(word, lang, prio) AS (
+              VALUES ('the','en',0),('and','en',0),('of','en',0),('to','en',0),('in','en',0),
+                     ('is','en',0),('that','en',0),('it','en',0),('for','en',0),('with','en',0),
+                     ('der','de',1),('die','de',1),('und','de',1),('das','de',1),('ist','de',1),
+                     ('nicht','de',1),('mit','de',1),('ein','de',1),('zu','de',1),('den','de',1),
+                     ('le','fr',2),('la','fr',2),('et','fr',2),('les','fr',2),('des','fr',2),
+                     ('est','fr',2),('pas','fr',2),('une','fr',2),('pour','fr',2),('que','fr',2),
+                     ('el','es',3),('la','es',3),('de','es',3),('que','es',3),('los','es',3),
+                     ('una','es',3),('por','es',3),('con','es',3),('para','es',3),('las','es',3)
+            ),
+            hits AS (
+              SELECT w.doc_id, p.lang, p.prio, COUNT(*) AS c
+              FROM words w JOIN profile p ON w.word = p.word
+              GROUP BY w.doc_id, p.lang, p.prio
+            ),
+            best AS (
+              SELECT doc_id, lang, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, prio ASC) AS rn
+              FROM hits
+            )
+            SELECT d.doc_id,
+                   COALESCE(CASE WHEN b.c >= 2 THEN b.lang END, 'und') AS lang_guess
+            FROM documents d
+            LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         """,
         "media_refs": """
             SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/0'
