@@ -70,6 +70,35 @@ def fnv1a_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return h
 
 
+def window_valid(off: np.ndarray, window: int, short: np.ndarray):
+    """Validity of the ``total-window+1`` flat sliding windows over jagged
+    segments: a window is valid iff it lies fully inside one segment and
+    its segment is not in ``short``.  Invalid windows are marked by
+    boundary scatters (window-1 small scatters — no O(total) gather).
+    Returns (valid mask over flat windows, per-segment valid counts, m)."""
+    off = np.asarray(off, dtype=np.int64)
+    lens = np.diff(off)
+    total = int(off[-1])
+    m = max(total - window + 1, 0)
+    valid = np.ones(m, dtype=bool)
+    for k in range(1, window):
+        edge = off[1:] - k
+        edge = edge[(edge >= 0) & (edge < m)]
+        valid[edge] = False
+    if short.any():
+        sidx = np.nonzero(short)[0]
+        s_lens = lens[sidx]
+        spos = np.repeat(off[:-1][sidx], s_lens) + (
+            np.arange(int(s_lens.sum()))
+            - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+        )
+        spos = spos[spos < m]
+        valid[spos] = False
+    wcounts = np.maximum(lens - (window - 1), 0)
+    wcounts[short] = 0
+    return valid, wcounts, m
+
+
 def gather_segments(
     data: np.ndarray, starts: np.ndarray, stops: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:

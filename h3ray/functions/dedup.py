@@ -59,39 +59,26 @@ def _shingles_flat(col, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
     window validity by boundary scatter (no per-row Python).  Documents
     shorter than n bytes hash their zero-padded bytes — same semantics as
     the scalar `_hash_shingles` (one shingle each)."""
+    from ._strkern import window_valid
+
     data, off = utf8_view(col)
     ndoc = len(off) - 1
     lens = np.diff(off)
     short = lens < n
-    total = len(data)
-    m = max(total - n + 1, 0)
     with np.errstate(over="ignore"):
+        valid, wcounts, m = window_valid(off, n, short)
         H = np.zeros(m, dtype=np.uint64)
         if m:
             bu = data.astype(np.uint64)
             for k in range(n):
                 H *= _FNV
                 H ^= bu[k : k + m]
-        valid = np.ones(m, dtype=bool)
-        for k in range(1, n):
-            edge = off[1:] - k
-            edge = edge[(edge >= 0) & (edge < m)]
-            valid[edge] = False
-        if short.any():
-            sidx = np.nonzero(short)[0]
-            s_lens = lens[sidx]
-            spos = np.repeat(off[:-1][sidx], s_lens) + (
-                np.arange(int(s_lens.sum()))
-                - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
-            )
-            spos = spos[spos < m]
-            valid[spos] = False
-        wcounts = np.maximum(lens - (n - 1), 0)
-        wcounts[short] = 0
         flat = H[valid]
         # short docs: zero-padded single shingle, computed on a (ns, n) pad
         # matrix in one vectorized pass
         if short.any():
+            sidx = np.nonzero(short)[0]
+            s_lens = lens[sidx]
             padded = np.zeros((len(sidx), n), dtype=np.uint64)
             rows = np.repeat(np.arange(len(sidx)), s_lens)
             cols = np.arange(int(s_lens.sum())) - np.repeat(
@@ -237,8 +224,9 @@ def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
 def simhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over token hashes (bit-vote), fully vectorized:
     Arrow lower+split for tokens, jagged FNV-1a over the flat token buffer,
-    unpackbits -> segmented bit-vote (add.reduceat) -> packbits.  Values are
-    bit-identical to the scalar per-token reference kernel."""
+    per-bit segmented vote counts -> packbits.  Values are bit-identical to
+    the scalar per-token reference kernel for ASCII text (utf8_lower's ICU
+    special cases, e.g. 'İ', are the one documented divergence)."""
     import pyarrow.compute as pc
 
     from ._strkern import fnv1a_segments, list_offsets, split_tokens
@@ -348,7 +336,12 @@ def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
     def bucketize(batch: pa.Table) -> pa.Table:
         return embedding_lsh_buckets(batch, emb_col, doc_col, planes)
 
-    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize once: the count aggregate AND the expand stage both
+    # consume the bucketized rows — without this the source scan + LSH
+    # hashing lineage would execute twice
+    buckets = ds.map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     counts = buckets.groupby("bucket").count().take_all()  # <= 2^planes rows
     hot = {
         int(r["bucket"]) for r in counts if r["count()"] > hot_threshold

@@ -6,7 +6,10 @@ vectorized over the flat UTF-8 buffer of the string column (see
 and fingerprinting run as numpy / pyarrow.compute passes with no per-row
 Python, so a map_batches stage is memory-bandwidth-bound, not
 interpreter-bound.  Output values are bit-identical to the original
-per-row reference kernels (pinned by tests/test_ray_layer.py).
+per-row reference kernels (pinned by tests/test_ray_layer.py), with one
+documented exception: lowercasing goes through Arrow's utf8_lower, which
+follows ICU special cases ('İ' -> 'i') where Python's str.lower emits a
+combining mark — ASCII text is unaffected.
 """
 
 from __future__ import annotations
@@ -51,7 +54,8 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace tokens, regex (BPE-ish) tokens, chars."""
     text = batch.column(text_col)
     ws = pc.list_value_length(pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+"))
-    bpe = pc.count_substring_regex(text, _TOKEN_PATTERN)
+    # null text counted 0 tokens in the scalar reference (`if t else 0`)
+    bpe = pc.fill_null(pc.count_substring_regex(text, _TOKEN_PATTERN), 0)
     batch = batch.append_column("n_tokens_ws", ws.cast(pa.int64()))
     batch = batch.append_column("n_tokens_re", bpe.cast(pa.int64()))
     return batch.append_column("n_chars", pc.utf8_length(text).cast(pa.int64()))
@@ -196,25 +200,10 @@ def document_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 
                 np.cumprod(pw, out=pw)  # pw[p] = base^(p+w-1)
                 H = (P[window:] - P[:m]) * pw
                 # valid windows: start within a long doc and not within
-                # window-1 bytes of its end — scatter invalids directly
-                # (window-1 small scatters; no O(total) gather)
-                valid = np.ones(m, dtype=bool)
-                for k in range(1, window):
-                    edge = off[1:] - k
-                    edge = edge[(edge >= 0) & (edge < m)]
-                    valid[edge] = False
-                if short.any():
-                    sidx = np.nonzero(short)[0]
-                    s_lens = (off[1:] - off[:-1])[sidx]
-                    spos = np.repeat(off[:-1][sidx], s_lens) + (
-                        np.arange(int(s_lens.sum()))
-                        - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
-                    )
-                    spos = spos[spos < m]
-                    valid[spos] = False
-                # windows per doc, in flat order == doc order
-                wcounts = np.maximum(np.diff(off) - (window - 1), 0)
-                wcounts[short] = 0
+                # window-1 bytes of its end (shared jagged-window helper)
+                from ._strkern import window_valid
+
+                valid, wcounts, _ = window_valid(off, window, short)
                 Hv = H[valid]
                 dv = np.repeat(np.arange(n, dtype=np.int64), wcounts)
                 # threshold prefilter: hashes are ~uniform, so the keep

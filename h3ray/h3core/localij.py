@@ -487,9 +487,11 @@ def grid_path_cells(a: np.ndarray, b: np.ndarray):
     pj = (rX + rY).astype(np.int64)
     cells, cok = localij_to_cells(a[row], pi, pj)
     keep = ok[row] & cok
-    return row[keep], cells[keep], ok & (
-        np.bincount(row[keep], minlength=n) == counts
-    )
+    # a pair whose path lost ANY step (e.g. an intermediate cell on an
+    # ambiguous pentagon fold) fails wholesale: emit no partial lists
+    ok_final = ok & (np.bincount(row[keep], minlength=n) == counts)
+    keep &= ok_final[row]
+    return row[keep], cells[keep], ok_final
 
 
 def localij_to_cells(anchors: np.ndarray, i: np.ndarray, j: np.ndarray):

@@ -171,6 +171,7 @@ def cells_parse(
     exotic = ~ok & ~nulls & (raw_len > 0)
     exotic &= (
         pc.match_substring_regex(trimmed, r"^([+-]|0[xX])").to_numpy(zero_copy_only=False)
+        | pc.match_substring(trimmed, "_").to_numpy(zero_copy_only=False)
         | (
             pc.utf8_length(filled).to_numpy(zero_copy_only=False) != raw_len
         )

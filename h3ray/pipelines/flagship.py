@@ -62,9 +62,14 @@ def q_flagship_resumable(sf_dir: str):
     facts (partition_key, row_count, resumed_ok)."""
     import tempfile
 
+    import shutil
+
     out_dir = tempfile.mkdtemp(prefix="h3ray_flagship_")
-    r1 = run_flagship(sf_dir, out_dir)
-    r2 = run_flagship(sf_dir, out_dir)
+    try:
+        r1 = run_flagship(sf_dir, out_dir)
+        r2 = run_flagship(sf_dir, out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
     resumed_ok = r2["computed_now"] == 0 and r2["completed_before"] >= 1
     rows = [
         {"partition_key": k, "row_count": n, "resumed_ok": resumed_ok}

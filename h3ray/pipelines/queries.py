@@ -575,9 +575,16 @@ def q_ann_ivf(sf_dir: str):
     cent = ann_fns.train_centroids(X[:: max(1, t.num_rows // 256)], 16)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_")
-    ann_fns.ivf_build(ds, cent, index_dir)
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
-    top, _ = ann_fns.ivf_topk_partitioned(index_dir, ids, X[:20], cent, k=1)
+    try:
+        ann_fns.ivf_build(ds, cent, index_dir)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
+        # ivf_topk_partitioned materializes its result, so the scratch
+        # index can be removed before returning
+        top, _ = ann_fns.ivf_topk_partitioned(index_dir, ids, X[:20], cent, k=1)
+    finally:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
     return pa.table(
         {"query_id": top.column("query_id"), "vec_id": top.column("vec_id")}
     )
