@@ -164,6 +164,73 @@ def make_pip_refine_kernel(
     return kernel
 
 
+def pip_join_hash(
+    points_ds,
+    rects_ds,
+    res: int,
+    num_partitions: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    point_id_col: str = "point_id",
+):
+    """PIP join through Ray Data's native hash join: both sides keyed by the
+    cover cell, ``Dataset.join(..., on=("cell",))``, then the exact planar
+    refinement.  The most idiomatic both-sides-large expression — the hash
+    exchange scales with data volume, not with the sort machinery — but its
+    aggregator actor pool has a multi-second spin-up, so at tiny local
+    scale the groupby co-group (`pip_join_shuffle`) or the broadcast path
+    win; this variant is the 256-node-cluster shape."""
+    from .h3core import faceijk as faceijk_mod
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        lng = batch.column(lng_col).to_numpy(zero_copy_only=False)
+        pid = batch.column(point_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = faceijk_mod.latlng_to_cell(lat, lng, res)
+        return pa.table(
+            {
+                point_id_col: pa.array(pid),
+                lat_col: pa.array(lat),
+                lng_col: pa.array(lng),
+                "cell": pa.array(cells.astype(np.int64)),
+            }
+        )
+
+    def rect_rows(batch: pa.Table) -> pa.Table:
+        rid = batch.column("rect_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        l0 = batch.column("lng0").to_numpy(zero_copy_only=False)
+        a0 = batch.column("lat0").to_numpy(zero_copy_only=False)
+        l1 = batch.column("lng1").to_numpy(zero_copy_only=False)
+        a1 = batch.column("lat1").to_numpy(zero_copy_only=False)
+        rows, cells = rect_cover_cells(rid, l0, a0, l1, a1, res)
+        return pa.table(
+            {
+                "cell": pa.array(cells.astype(np.int64)),
+                "rect_id": pa.array(rid[rows]),
+                "lng0": pa.array(l0[rows]),
+                "lat0": pa.array(a0[rows]),
+                "lng1": pa.array(l1[rows]),
+                "lat1": pa.array(a1[rows]),
+            }
+        )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        lng = batch.column(lng_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        m = (
+            (lng >= batch.column("lng0").to_numpy(zero_copy_only=False))
+            & (lng <= batch.column("lng1").to_numpy(zero_copy_only=False))
+            & (lat >= batch.column("lat0").to_numpy(zero_copy_only=False))
+            & (lat <= batch.column("lat1").to_numpy(zero_copy_only=False))
+        )
+        return batch.filter(pa.array(m)).select([point_id_col, "rect_id"])
+
+    pts = points_ds.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
+    cov = rects_ds.map_batches(rect_rows, batch_format="pyarrow", zero_copy_batch=True)
+    joined = pts.join(cov, "inner", num_partitions, on=("cell",))
+    return joined.map_batches(refine, batch_format="pyarrow")
+
+
 # --- shuffle variant (both sides large) -------------------------------------
 
 
