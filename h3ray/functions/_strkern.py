@@ -44,29 +44,80 @@ def utf8_view(col) -> tuple[np.ndarray, np.ndarray]:
     return data, off
 
 
-def fnv1a_segments(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+FNV_BLOCK_CAP = 1 << 16  # 64 KiB: outlier segments switch to the blocked scheme
+
+
+def fnv1a_segments(
+    data: np.ndarray, offsets: np.ndarray, cap: int = FNV_BLOCK_CAP
+) -> np.ndarray:
     """FNV-1a 64-bit hash of each segment ``data[offsets[i]:offsets[i+1]]``.
 
     Byte-position loop, vectorized across segments: rows are processed
     longest-first so each iteration touches a shrinking *prefix* (no
-    boolean-mask overhead on skewed lengths)."""
+    boolean-mask overhead on skewed lengths).
+
+    Skew cap: the byte loop runs at most ``cap`` iterations regardless of
+    the longest segment.  A segment longer than ``cap`` bytes would
+    otherwise serialize the kernel (one 100 MB outlier document = 10^8
+    near-scalar iterations), so outliers hash through a deterministic
+    blocked scheme instead: the segment is split into ``cap``-byte lanes,
+    each lane FNV-1a-hashed vectorized (all lanes in parallel), and the
+    lane hashes plus the true byte length are FNV-1a-combined.  The result
+    is content-sensitive to every byte and stable across runs/cluster
+    sizes; it differs from plain FNV-1a only for > ``cap`` segments
+    (documented divergence — dedup/grouping semantics are unaffected)."""
     starts = offsets[:-1].astype(np.int64)
     lens = np.diff(offsets).astype(np.int64)
     n = len(lens)
     h = np.full(n, FNV_OFFSET, dtype=np.uint64)
     if n == 0 or lens.max(initial=0) == 0:
         return h
+    big = lens > cap
+    if big.any():
+        bidx = np.nonzero(big)[0]
+        blens = lens[bidx]
+        nb = -(-blens // cap)  # lanes per outlier
+        lane_of_seg = np.repeat(np.arange(len(bidx)), nb)
+        lane_seq = np.arange(len(lane_of_seg)) - np.repeat(
+            np.cumsum(nb) - nb, nb
+        )
+        lane_start = starts[bidx][lane_of_seg] + lane_seq * cap
+        lane_stop = np.minimum(lane_start + cap, starts[bidx][lane_of_seg] + blens[lane_of_seg])
+        lane_data, lane_off = gather_segments(data, lane_start, lane_stop)
+        lane_h = fnv1a_segments(lane_data, lane_off, cap)
+        # combine: per outlier, FNV-1a over (lane hashes || length) as bytes
+        comb = np.empty(len(lane_h) + len(bidx), dtype=np.uint64)
+        comb_off = np.zeros(len(bidx) + 1, dtype=np.int64)
+        np.cumsum(nb + 1, out=comb_off[1:])
+        pos = np.arange(len(lane_h)) + lane_of_seg  # shift for the length slot
+        comb[pos] = lane_h
+        comb[comb_off[1:] - 1] = blens.astype(np.uint64)
+        cbytes = comb.astype("<u8").view(np.uint8)
+        h[bidx] = fnv1a_segments(cbytes, comb_off * 8, cap)
+        if big.all():
+            return h
+        # hash the normal segments below with the outliers masked out
+        starts = starts[~big]
+        lens = lens[~big]
+        small_idx = np.nonzero(~big)[0]
+    else:
+        small_idx = None
+    m = len(lens)
     order = np.argsort(-lens, kind="stable")
     s_s, l_s = starts[order], lens[order]
-    hs = np.full(n, FNV_OFFSET, dtype=np.uint64)
-    maxlen = int(l_s[0])
+    hs = np.full(m, FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(l_s[0]) if m else 0
     with _WRAP:
         for j in range(maxlen):
             na = int(np.searchsorted(-l_s, -(j + 1), side="right"))
             if na == 0:
                 break
             hs[:na] = (hs[:na] ^ data[s_s[:na] + j]) * FNV_PRIME
-    h[order] = hs
+    out_small = np.empty(m, dtype=np.uint64)
+    out_small[order] = hs
+    if small_idx is None:
+        return out_small
+    h[small_idx] = out_small
     return h
 
 

@@ -158,28 +158,26 @@ def make_ivf_assign_kernel(centroids_ref, emb_col: str = "embedding"):
 
 def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
              n_probe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id"):
-    """IVF search: only batches' vectors in the probed buckets participate.
-    The bucket column doubles as the partitioning key for co-locating
-    vectors at scale."""
-    import ray
+    """One-shot IVF search: builds a *transient* bucket-partitioned index
+    (``ivf_build``) and searches it through the persisted path, so probe
+    pruning prunes I/O exactly like the durable index.  For repeated query
+    sets, call ``ivf_build`` once and ``ivf_topk_partitioned`` per query set
+    — this convenience re-pays the build on every call, but its *plan* is
+    the scale plan (the old implementation re-scanned and re-assigned the
+    full dataset per query set, which was an attractive-nuisance API)."""
+    import shutil
+    import tempfile
 
-    qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
-    cref = ray.put(centroids)
-    assigned = ds.map_batches(
-        make_ivf_assign_kernel(cref, emb_col), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    wanted = np.unique(probes)
-    filtered = assigned.filter(
-        expr=f"ivf_bucket in {sorted(int(b) for b in wanted)}"
-    )
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
-    kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
-    partials = filtered.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
-    # mask results whose query did not probe the bucket is unnecessary for
-    # recall measurement; exactness caveat documented (ANN)
-    return _reduce_topk(partials, k)
+    index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_tmp_")
+    try:
+        ivf_build(ds, np.asarray(centroids, dtype=np.float64), index_dir, emb_col)
+        top, _ = ivf_topk_partitioned(
+            index_dir, query_ids, query_matrix, centroids, k, n_probe,
+            emb_col, id_col,
+        )
+    finally:
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return top
 
 
 # --- partitioned IVF index (the persisted scale path) ------------------------

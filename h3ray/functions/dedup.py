@@ -152,14 +152,15 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text", k: int = 64,
     )
 
 
-def minhash_bands(batch: pa.Table, bands: int = 16, doc_col: str = "doc_id") -> pa.Table:
+def minhash_bands(batch: pa.Table, bands: int = 16, doc_col: str = "doc_id",
+                  extra_cols: tuple = ()) -> pa.Table:
     """Explode signatures into (band, band_hash, doc_id) bucket rows — the
-    LSH shuffle key."""
+    LSH shuffle key.  ``extra_cols`` are carried through (repeated per
+    band), e.g. a text hash for the exact-verify stage."""
     sigs = batch.column("minhash").combine_chunks()
     flat = sigs.flatten().to_numpy(zero_copy_only=False)
     n = len(batch)
     k = len(flat) // max(1, n)
-    rows_per = bands
     sig2 = flat.reshape(n, k)
     r = k // bands
     band_hash = np.zeros((n, bands), dtype=np.uint64)
@@ -169,13 +170,15 @@ def minhash_bands(batch: pa.Table, bands: int = 16, doc_col: str = "doc_id") -> 
             h = (h * _FNV) ^ sig2[:, c]
         band_hash[:, b] = h
     doc = batch.column(doc_col).to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(band_hash.reshape(-1)),
-            doc_col: pa.array(np.repeat(doc, bands)),
-        }
-    )
+    out = {
+        "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+        "band_hash": pa.array(band_hash.reshape(-1)),
+        doc_col: pa.array(np.repeat(doc, bands)),
+    }
+    for c in extra_cols:
+        v = batch.column(c).to_numpy(zero_copy_only=False)
+        out[c] = pa.array(np.repeat(v, bands))
+    return pa.table(out)
 
 
 def bucket_pairs(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
@@ -268,21 +271,73 @@ def simhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(out))
 
 
-def simhash_bands(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+def simhash_bands(batch: pa.Table, doc_col: str = "doc_id",
+                  extra_cols: tuple = ()) -> pa.Table:
     """4 x 16-bit blocking: docs within hamming distance 3 share at least
-    one exact band."""
+    one exact band.  ``extra_cols`` are carried through (tiled per band)."""
     sig = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
     doc = batch.column(doc_col).to_numpy(zero_copy_only=False)
     bandvals = [
         ((sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
         for b in range(4)
     ]
+    out = {
+        "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(sig))),
+        "band_hash": pa.array(np.concatenate(bandvals)),
+        doc_col: pa.array(np.tile(doc, 4)),
+    }
+    for c in extra_cols:
+        v = batch.column(c).to_numpy(zero_copy_only=False)
+        out[c] = pa.array(np.tile(v, 4))
+    return pa.table(out)
+
+
+def _group_runs(docs: np.ndarray, keys: np.ndarray):
+    """Sort (key, doc) and return (docs_sorted, run_start_index, rank) —
+    the shared run machinery for within-bucket exact verification."""
+    order = np.lexsort((docs, keys))
+    d, k = docs[order], keys[order]
+    first = np.concatenate([[True], k[1:] != k[:-1]]) if len(k) else np.zeros(0, bool)
+    first_idx = np.maximum.accumulate(np.where(first, np.arange(len(d)), 0))
+    rank = np.arange(len(d)) - first_idx
+    return d, first_idx, rank
+
+
+def exact_pairs_in_group(batch: pa.Table, doc_col: str = "doc_id",
+                         key_col: str = "text_hash") -> pa.Table:
+    """Within one LSH bucket: emit every pair (a < b) of docs whose
+    ``key_col`` (e.g. full-text hash) is equal — the exact-verify stage of
+    the LSH pipeline, vectorized (no per-run Python): each sorted element
+    of rank r contributes r pairs against its run's earlier elements."""
+    docs = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    empty = pa.table({"a": pa.array([], type=pa.int64()),
+                      "b": pa.array([], type=pa.int64())})
+    if len(docs) < 2:
+        return empty
+    d, first_idx, rank = _group_runs(docs, keys)
+    total = int(rank.sum())
+    if total == 0:
+        return empty
+    b = np.repeat(d, rank)
+    within = np.arange(total) - np.repeat(np.cumsum(rank) - rank, rank)
+    a = d[np.repeat(first_idx, rank) + within]
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def exact_mates_in_group(batch: pa.Table, doc_col: str = "doc_id",
+                         key_col: str = "text_hash") -> pa.Table:
+    """Within one LSH bucket: per doc, the count of OTHER docs with an
+    equal ``key_col`` (exact-text bucket mates)."""
+    docs = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    if len(docs) == 0:
+        return pa.table({doc_col: pa.array([], type=pa.int64()),
+                         "n_mates": pa.array([], type=pa.int64())})
+    d, first_idx, rank = _group_runs(docs, keys)
+    gsize = np.bincount(first_idx, minlength=len(d))[first_idx]
     return pa.table(
-        {
-            "band": pa.array(np.repeat(np.arange(4, dtype=np.int32), len(sig))),
-            "band_hash": pa.array(np.concatenate(bandvals)),
-            doc_col: pa.array(np.tile(doc, 4)),
-        }
+        {doc_col: pa.array(d), "n_mates": pa.array((gsize - 1).astype(np.int64))}
     )
 
 
@@ -320,9 +375,14 @@ def embedding_lsh_buckets(batch: pa.Table, emb_col: str = "embedding",
 def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
                              doc_col: str = "vec_id", planes: int = 16,
                              threshold: float = 0.95, hot_threshold: int = 2048,
-                             hot_parts: int = 4):
+                             hot_parts: int = 4, checkpoint_dir: str | None = None):
     """Embedding near-dup pairs: hyperplane-LSH buckets -> exact cosine
     verify per bucket, with *triangle salting* for hot buckets.
+
+    With ``planes=0`` every vector lands in one bucket, which turns the
+    pipeline into an EXACT all-pairs cosine join — the triangle salting
+    below is then a distributed block matmul over hot_parts*(hot_parts+1)/2
+    tasks (each unordered pair computed exactly once).
 
     A bucket larger than ``hot_threshold`` would be one straggler group, so
     its rows are hash-assigned to ``hot_parts`` parts and every row is
@@ -330,18 +390,24 @@ def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
     ordering; task (p, q) verifies only cross-(p, q) (or within-p when
     p == q) pairs, so every unordered pair is computed exactly once and the
     all-pairs work spreads over hot_parts*(hot_parts+1)/2 tasks.  The hot
-    set is found by a tiny count aggregate and broadcast via ray.put."""
+    set is found by a tiny count aggregate and broadcast via ray.put.
+
+    The bucketized rows are consumed twice (count aggregate + expand
+    stage).  With ``checkpoint_dir`` set they are checkpointed to parquet
+    once and both consumers read the checkpoint — the 100 TB path (caller
+    owns cleanup).  Without it, the deterministic LSH assign simply
+    recomputes on the second pass: cheap vectorized work, and it avoids
+    pinning the full bucketized dataset in the object store the way a
+    ``materialize()`` would."""
     import ray
 
     def bucketize(batch: pa.Table) -> pa.Table:
         return embedding_lsh_buckets(batch, emb_col, doc_col, planes)
 
-    # materialize once: the count aggregate AND the expand stage both
-    # consume the bucketized rows — without this the source scan + LSH
-    # hashing lineage would execute twice
-    buckets = ds.map_batches(
-        bucketize, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    if checkpoint_dir is not None:
+        buckets.write_parquet(checkpoint_dir)
+        buckets = ray.data.read_parquet(checkpoint_dir)
     counts = buckets.groupby("bucket").count().take_all()  # <= 2^planes rows
     hot = {
         int(r["bucket"]) for r in counts if r["count()"] > hot_threshold

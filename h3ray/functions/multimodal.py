@@ -110,18 +110,46 @@ class MediaDecoder:
         return arr.reshape(self.target_size, self.target_size)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").combine_chunks().to_pylist()
-        kinds = batch.column("kind").combine_chunks().to_pylist()
-        feats = np.zeros((len(payloads), 4), dtype=np.float64)
-        decoded_w = np.zeros(len(payloads), dtype=np.int32)
-        for i, (p, k) in enumerate(zip(payloads, kinds)):
-            img = self._decode(p or b"", k or "image")
-            feats[i] = [img.mean(), img.std(), img.min(), img.max()]
-            decoded_w[i] = img.shape[-1]
-        batch = batch.append_column("feat_mean", pa.array(feats[:, 0]))
-        batch = batch.append_column("feat_std", pa.array(feats[:, 1]))
-        batch = batch.append_column("decoded_size", pa.array(decoded_w))
-        return batch
+        """Vectorized feature fold over the whole batch: the fake decode
+        tiles each payload to exactly n = target_size^2 values, so its
+        mean/std are closed forms of integer byte sums — q full copies plus
+        an r-byte prefix, q = n // len, r = n mod len — computed with two
+        cumsum passes over the batch's flat payload buffer (zero-copy view
+        via ``_strkern.utf8_view``).  Stats are exact float64 over the tiled
+        semantics; no per-payload Python in the batch path."""
+        if self.mode is DecodeMode.STRICT:
+            # fail exactly where a codec would plug in, first batch
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "plug a decoder in MediaDecoder._decode"
+            )
+        from ._strkern import utf8_view
+
+        data, off = utf8_view(batch.column("payload"))
+        lens = np.diff(off)
+        nrow = len(batch)
+        n = self.target_size * self.target_size
+        q = np.where(lens > 0, n // np.maximum(lens, 1), 0).astype(np.int64)
+        # prefix bytes of the partial copy (= n when len > n; 0 for empties)
+        r = np.where(lens > 0, n - q * lens, 0)
+        d64 = data.astype(np.int64)
+        cs1 = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(d64, out=cs1[1:])
+        cs2 = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(d64 * d64, out=cs2[1:])
+        starts = off[:-1]
+        pref_end = np.minimum(starts + r, off[1:])
+        s1 = (cs1[off[1:]] - cs1[starts]) * q + (cs1[pref_end] - cs1[starts])
+        s2 = (cs2[off[1:]] - cs2[starts]) * q + (cs2[pref_end] - cs2[starts])
+        mean = s1 / (255.0 * n)
+        var = s2 / (n * 255.0 * 255.0) - mean * mean
+        std = np.sqrt(np.maximum(var, 0.0))
+        batch = batch.append_column("feat_mean", pa.array(mean))
+        batch = batch.append_column("feat_std", pa.array(std))
+        return batch.append_column(
+            "decoded_size",
+            pa.array(np.full(nrow, self.target_size, dtype=np.int32)),
+        )
 
 
 def media_pipeline(ds, mode: str = "fake", concurrency: int = 4, batch_size: int = 64):

@@ -94,7 +94,11 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     isalnum semantics (see _strkern.char_classes)."""
     text = batch.column(text_col)
     n = len(batch)
-    n_chars = pc.utf8_length(text).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    # null text scores as '' (0.15), matching the scalar reference kernel;
+    # utf8_length would propagate the null into a NaN score otherwise
+    n_chars = pc.utf8_length(pc.fill_null(text, "")).cast(pa.float64()).to_numpy(
+        zero_copy_only=False
+    )
     u32, char_off = codepoints(text)
     is_alpha, is_space, is_alnum = char_classes(u32)
     nonspace = ~is_space

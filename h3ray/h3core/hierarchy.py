@@ -122,9 +122,15 @@ def compact(cells: np.ndarray, mixed_resolutions: bool = False) -> np.ndarray:
     if not mixed_resolutions and len(np.unique(res)) > 1:
         raise ValueError("input of compact has heterogen resolutions")
     if len(np.unique(cells)) != len(cells):
-        # reference parity: compact refuses duplicated input
-        # (crates/h3arrow/src/algorithm/compact.rs:19-31)
-        raise ValueError("input of compact contains duplicate cells")
+        if mixed_resolutions:
+            # reference parity: compact_mixed_resolutions dedups silently
+            # (h3o CellIndex::compact via CellSet::dedup); only the same-res
+            # path refuses duplicates
+            cells = np.unique(cells)
+        else:
+            # reference parity: compact refuses duplicated input
+            # (crates/h3arrow/src/algorithm/compact.rs:19-31)
+            raise ValueError("input of compact contains duplicate cells")
     out_parts = []
     cur = cells
     for r in range(int(res.max()), 0, -1):

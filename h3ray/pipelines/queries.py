@@ -462,47 +462,136 @@ def q_lang_id(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _with_planted_dups(batch: pa.Table) -> pa.Table:
+    """Corpus + deterministic planted exact duplicates: every doc with
+    doc_id % 10 == 0 is re-added under doc_id + 1000000.  The corpus has no
+    natural exact-duplicate texts, so the plant gives the dedup pipelines a
+    nonzero, SQL-reproducible answer (the reference test strategy: plant,
+    then find)."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    dup = batch.filter(pa.array(ids % 10 == 0))
+    dup = dup.set_column(
+        dup.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(dup.column("doc_id"), 1000000),
+    )
+    return pa.concat_tables([batch, dup])
+
+
+_PLANTED_SQL = """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            )
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
-    """MinHash-LSH near-duplicate candidate pairs (rows-only; planted-pair
-    detection validated in pytest)."""
+    """Value-oracled MinHash-LSH dedup over a planted-duplicate corpus:
+    signatures -> 16 band buckets -> within-bucket all pairs ->
+    exact-verify by full-text hash -> distinct.  Identical texts share
+    every band bucket (recall 1 for the exact tier), and the verify stage
+    drops near-dup-but-unequal candidates, so the emitted pair set equals
+    the SQL self-join on text over the same planted corpus.  This is the
+    LSH candidate->verify pipeline with the verify tier set to exact; the
+    near-dup (Jaccard-threshold) tier is exercised in pytest
+    (test_minhash_finds_planted_dups)."""
     from ..functions import dedup as dedup_fns
+    from ..functions.text import hash_u64_batch
+
+    def sig(batch: pa.Table) -> pa.Table:
+        batch = _with_planted_dups(batch)
+        t = dedup_fns.minhash_signatures(batch)
+        t = t.append_column(
+            "text_hash",
+            pa.array(hash_u64_batch(batch.column("text")).astype(np.int64)),
+        )
+        return dedup_fns.minhash_bands(t, 16, "doc_id", extra_cols=("text_hash",))
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    pairs = dedup_fns.minhash_dedup_pipeline(ds)
+    pairs = (
+        ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(dedup_fns.exact_pairs_in_group, batch_format="pyarrow")
+    )
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
 def q_simhash_bands(sf_dir: str):
-    """SimHash 4x16-bit blocking rows (rows-only)."""
+    """Value-oracled SimHash blocking over the planted-duplicate corpus:
+    signatures -> 4x16-bit band buckets -> per-doc count of exact-text
+    bucket mates, summed over bands.  Identical texts have identical
+    simhash, hence co-bucket in all 4 bands: every doc's total equals
+    4 * (its text-group size - 1) — the SQL window twin."""
     from ..functions import dedup as dedup_fns
+    from ..functions.text import hash_u64_batch
 
     def k(batch: pa.Table) -> pa.Table:
+        batch = _with_planted_dups(batch)
         t = dedup_fns.simhash_signatures(batch)
-        return dedup_fns.simhash_bands(t)
+        t = t.append_column(
+            "text_hash",
+            pa.array(hash_u64_batch(batch.column("text")).astype(np.int64)),
+        )
+        return dedup_fns.simhash_bands(t, extra_cols=("text_hash",))
 
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    mates = (
+        ds.map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_hash"])
+        .map_groups(dedup_fns.exact_mates_in_group, batch_format="pyarrow")
+    )
+    out = mates.groupby("doc_id").sum("n_mates")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_exact_band_mates": batch.column("sum(n_mates)").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def q_embedding_dup_pairs(sf_dir: str):
-    """Embedding cosine near-dup pairs via triangle-salted LSH (rows-only:
-    float thresholds; exact-vs-bruteforce parity locked in pytest)."""
+    """Value-oracled embedding near-dup join: with ``planes=0`` every
+    vector shares one LSH bucket, the bucket is hot, and the triangle
+    salting turns the verify stage into an EXACT distributed all-pairs
+    cosine block join (each unordered pair computed exactly once across
+    hot_parts*(hot_parts+1)/2 tasks) — reproducible in SQL via
+    list_cosine_similarity.  The approximate (planes>0) tier is pytest-
+    anchored (test_embedding_dedup_pipeline_with_hot_bucket)."""
+    import shutil
+    import tempfile
+
     from ..functions import dedup as dedup_fns
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
-    pairs = dedup_fns.embedding_dedup_pipeline(
-        ds, planes=4, threshold=0.3, hot_threshold=4096, hot_parts=4
-    )
+    ckpt = tempfile.mkdtemp(prefix="h3ray_embdedup_")
+    try:
+        pairs = dedup_fns.embedding_dedup_pipeline(
+            ds, planes=0, threshold=0.3, hot_threshold=64, hot_parts=4,
+            checkpoint_dir=ckpt,
+        )
 
-    def strip(batch: pa.Table) -> pa.Table:
-        return batch.select(["a", "b"])
+        def strip(batch: pa.Table) -> pa.Table:
+            return batch.select(["a", "b"])
 
-    return pairs.map_batches(strip, batch_format="pyarrow")
+        out = pairs.map_batches(strip, batch_format="pyarrow").materialize()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def q_ann_top1(sf_dir: str):
@@ -530,9 +619,13 @@ def q_ann_top1(sf_dir: str):
 
 
 def q_ann_topk(sf_dir: str):
-    """Brute-force top-5 neighbors of 10 queries (rows-only: float ties make
-    value-level SQL comparison brittle; self-match + recall checked in
-    pytest)."""
+    """Value-oracled brute-force top-5 neighbors of 10 queries: the SQL
+    twin recomputes every cosine with DuckDB's list_cosine_similarity and
+    ranks with the same deterministic tie-break (cosine DESC, vec_id ASC)
+    the merge kernel uses; only integer columns are compared.  Both sides
+    accumulate in float64, so rank order agrees unless two distinct
+    neighbors tie within ~1 ulp (never in this corpus — asserted by
+    tools/check_oracles at sf0.001/0.01/0.1)."""
     import pyarrow.parquet as pq
 
     from ..functions import ann as ann_fns
@@ -792,8 +885,9 @@ ORACLE_SQL.update(
     {
         "text_quality": """
             SELECT doc_id,
-                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
-                       AS n_tokens_ws
+                   CAST(len(string_split_regex(
+                       regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                       AS BIGINT) AS n_tokens_ws
             FROM documents
         """,
         "ann_top1": """
@@ -1234,7 +1328,9 @@ ORACLE_SQL.update(
         "lang_id": """
             WITH words AS (
               SELECT doc_id,
-                     unnest(list_slice(string_split_regex(lower(trim(text)), '\\s+'), 1, 300)) AS word
+                     unnest(list_slice(string_split_regex(
+                         lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                         '\\s+'), 1, 300)) AS word
               FROM documents
             ),
             profile(word, lang, prio) AS (
@@ -1278,6 +1374,39 @@ ORACLE_SQL.update(
                    CAST(30 AS BIGINT) AS sum_d,
                    CAST(49 AS BIGINT) AS n_path_cells
             FROM events
+        """,
+        "minhash_pairs": _PLANTED_SQL + """
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM docs2 a JOIN docs2 b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "simhash_bands": _PLANTED_SQL + """
+            SELECT doc_id,
+                   CAST(4 * (COUNT(*) OVER (PARTITION BY text) - 1) AS BIGINT)
+                       AS n_exact_band_mates
+            FROM docs2
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding
+              FROM embeddings ORDER BY vec_id LIMIT 10
+            ),
+            ranked AS (
+              SELECT q.query_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.embedding, e.embedding)
+                                DESC, e.vec_id ASC
+                     ) - 1 AS rank
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank < 5
         """,
         "minhash_dup_rank": """
             SELECT doc_id,

@@ -201,11 +201,55 @@ def test_text_kernels():
     t = text.quality_score(b)
     q = np.array(t.column("quality").to_pylist())
     assert ((q >= 0) & (q <= 1)).all()
+    # null text must score like '' (0.15 = length/alpha/wl zero, punct term
+    # full), not NaN — the scalar reference treated None as ''
+    nullb = pa.table(
+        {"doc_id": pa.array([0, 1]), "text": pa.array([None, ""], type=pa.string())}
+    )
+    qn = np.array(text.quality_score(nullb).column("quality").to_pylist())
+    assert np.isfinite(qn).all() and qn[0] == qn[1] == 0.15
     t = text.language_id(b)
     assert set(t.column("lang_guess").to_pylist()) <= {"en", "de", "fr", "es", "und"}
     t = text.document_fingerprint(b)
     fp = t.column("fingerprint").to_pylist()
     assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
+
+
+def test_fnv1a_outlier_skew_capped():
+    """One huge document must not serialize the jagged FNV kernel: the byte
+    loop is capped at FNV_BLOCK_CAP iterations; outliers go through the
+    blocked lane scheme (content-sensitive, deterministic, small-segment
+    hashes bit-identical to plain FNV-1a)."""
+    import time
+
+    from h3ray.functions._strkern import FNV_BLOCK_CAP, fnv1a_segments
+    from h3ray.functions.text import hash_u64_str
+
+    rng = np.random.default_rng(7)
+    small = [bytes(rng.integers(32, 127, size=rng.integers(5, 200), dtype=np.uint8))
+             for _ in range(50)]
+    outlier = bytes(rng.integers(0, 256, size=10_000_000, dtype=np.uint8))
+    segs = small[:25] + [outlier] + small[25:]
+    data = np.frombuffer(b"".join(segs), dtype=np.uint8)
+    off = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segs], out=off[1:])
+    t0 = time.perf_counter()
+    h = fnv1a_segments(data, off)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 2.0  # 10 MB outlier must stay far from the ~10 s scalar path
+    # small (<= cap) segments: exact FNV-1a parity with the scalar reference
+    assert all(len(s) <= FNV_BLOCK_CAP for s in small)
+    exp = [hash_u64_str(s.decode("ascii")) for s in small]
+    got = [h[i] for i in list(range(25)) + list(range(26, len(segs)))]
+    assert got == exp
+    # outlier: deterministic and sensitive to any single byte
+    h2 = fnv1a_segments(data, off)
+    assert h2[25] == h[25]
+    flip = data.copy()
+    flip[off[25] + 5_000_000] ^= 1
+    h3 = fnv1a_segments(flip, off)
+    assert h3[25] != h[25]
+    assert (np.delete(h3, 25) == np.delete(h, 25)).all()
 
 
 def test_shuffle_join_equals_broadcast(ray_session):

@@ -114,6 +114,10 @@ def test_compact_rejects_duplicates():
     c = faceijk.latlng_to_cell(np.array([10.0, 10.0]), np.array([20.0, 20.0]), 5)
     with pytest.raises(ValueError, match="duplicate"):
         hierarchy.compact(c)
+    # ... but the mixed-resolutions path dedups silently (h3o
+    # compact_mixed_resolutions goes through CellSet::dedup, no error)
+    out = hierarchy.compact(c, mixed_resolutions=True)
+    assert (out == c[:1]).all()
 
 
 def test_grid_disk_list_matches_flat():
