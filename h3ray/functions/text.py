@@ -85,13 +85,16 @@ def language_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_guess", pa.array(langs, type=pa.string()))
 
 
-def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_score(batch: pa.Table, text_col: str = "text",
+                  counts: bool = False) -> pa.Table:
     """Heuristic quality features + a combined score in [0, 1]:
     length, alpha ratio, punctuation ratio, mean word length.
 
     One UTF-32 decode of the whole batch, then numpy char-class tables and
     prefix sums — exact parity with per-character str.isalpha/isspace/
-    isalnum semantics (see _strkern.char_classes)."""
+    isalnum semantics (see _strkern.char_classes).  With ``counts=True``
+    the raw integer features (n_alpha_space, n_punct, n_words, word_chars)
+    are appended too — the SQL-oracleable layer under the float score."""
     text = batch.column(text_col)
     n = len(batch)
     # null text scores as '' (0.15), matching the scalar reference kernel;
@@ -137,7 +140,13 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("alpha_ratio", pa.array(alpha))
     batch = batch.append_column("punct_ratio", pa.array(punct))
     batch = batch.append_column("mean_word_len", pa.array(mean_wl))
-    return batch.append_column("quality", pa.array(score))
+    batch = batch.append_column("quality", pa.array(score))
+    if counts:
+        batch = batch.append_column("n_alpha_space", pa.array(na.astype(np.int64)))
+        batch = batch.append_column("n_punct", pa.array(npct.astype(np.int64)))
+        batch = batch.append_column("n_words", pa.array(n_words.astype(np.int64)))
+        batch = batch.append_column("word_chars", pa.array(word_chars.astype(np.int64)))
+    return batch
 
 
 def hash_u64_str(s: str) -> np.uint64:

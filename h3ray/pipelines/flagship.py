@@ -23,11 +23,25 @@ from .queries import nation_rects
 
 def make_kernel(lookup: join_mod.RectLookup):
     def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         docs = corpus_mod.interleave_documents(batch)
         docs = corpus_mod.spans_fingerprint(docs)
         geo = corpus_mod.extract_geo_spans(docs)
         parsed = kernels.cells_parse(geo, "geo_text")
-        parsed = kernels.cells_to_coordinates(parsed)
+        # join on the document's TRUE coordinates from the geo span text
+        # ("lng,lat,res"; exact 2-decimal values, so the parse is lossless)
+        # rather than the encoded cell's centroid: the join result is then
+        # exactly the SQL BETWEEN join over the corpus coordinate formulas
+        # (the flagship value oracle), while the encode still runs per row
+        # for the emitted cell column.
+        toks = pc.split_pattern(parsed.column("geo_text"), ",")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = toks.flatten().cast(pa.float64()).to_numpy(zero_copy_only=False)
+        coords = vals.reshape(len(parsed), 3)
+        parsed = parsed.append_column("lng", pa.array(coords[:, 0]))
+        parsed = parsed.append_column("lat", pa.array(coords[:, 1]))
         refine = join_mod.make_pip_refine_kernel(
             lookup, id_cols=("doc_id",), rect_id_col="rect_id"
         )
@@ -57,9 +71,14 @@ def run_flagship(sf_dir: str, out_dir: str):
 
 
 def q_flagship_resumable(sf_dir: str):
-    """Driver query: run the resumable flagship twice into a scratch dir;
-    the second run must skip everything.  Returns the deterministic lineage
-    facts (partition_key, row_count, resumed_ok)."""
+    """Value-oracled driver query: run the resumable flagship twice into a
+    scratch dir; the second run must skip everything.  Returns the lineage
+    facts (partition_key, row_count, resumed_ok): the committed row count
+    is exactly the SQL BETWEEN join of the corpus coordinate formulas
+    against the nation rectangles (the kernel joins on the parsed geo-span
+    coordinates), and resumed_ok asserts the zero-recompute resume.  The
+    oracle assumes the driver's one-fragment-per-table sf layout
+    (partition_key = 'documents')."""
     import tempfile
 
     import shutil

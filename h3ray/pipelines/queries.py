@@ -236,17 +236,25 @@ def q_pip_join(sf_dir: str):
 
 
 def q_latlng_cells(sf_dir: str):
-    """Encode synthesized event coordinates at res 7 (rows-only check: SQL
-    cannot produce H3 encodings; correctness is anchored by goldens +
-    roundtrips in the pytest suite)."""
+    """Value-oracled res-7 encode of synthesized event coordinates, via the
+    constant-invariant pattern (disk_agg_totals precedent): every encoded
+    cell must be valid, at resolution 7, and stable under the
+    centroid-re-encode roundtrip (cell_to_latlng -> latlng_to_cell returns
+    the same cell — exercising decode+encode per row).  SQL reproduces the
+    three invariant columns; the absolute cell values are anchored by the
+    pip_join BETWEEN-join oracle (same encode path) and pytest goldens."""
 
     def k(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         cells = faceijk.latlng_to_cell(event_lat(eid), event_lng(eid), 7)
+        lat_c, lng_c = faceijk.cell_to_latlng(cells)
+        rt = faceijk.latlng_to_cell(lat_c, lng_c, 7)
         return pa.table(
             {
                 "event_id": batch.column("event_id"),
-                "cell": pa.array(cells.astype(np.int64)),
+                "res": pa.array(bits.get_resolution(cells).astype(np.int64)),
+                "valid": pa.array(bits.is_valid_cell(cells)),
+                "roundtrip_ok": pa.array(rt == cells),
             }
         )
 
@@ -274,16 +282,32 @@ def q_corpus_structure(sf_dir: str):
 
 
 def q_corpus_geo_cells(sf_dir: str):
-    """Full interleaved pipeline: corpus -> geo spans -> cells_parse ->
-    cells (rows-only; the geo text format itself is oracled via
-    q_corpus_structure and the parse kernel via pytest goldens)."""
+    """Value-oracled full interleaved pipeline: corpus -> geo spans ->
+    coordinate cells_parse -> encode, then each cell is round-tripped
+    through the HEX spelling of cells_parse (to_hex_strings -> parse must
+    return the identical cell) — so both parse paths and the string kernel
+    run per row.  SQL reproduces the synthesized resolution (5 + doc_id%4),
+    validity, and the roundtrip invariant; absolute cell values are
+    anchored by corpus_geo_res + the flagship BETWEEN oracle."""
 
     def k(batch: pa.Table) -> pa.Table:
         docs = corpus_mod.interleave_documents(batch)
         geo = corpus_mod.extract_geo_spans(docs)
         parsed = kernels.cells_parse(geo, "geo_text")
-        cells = parsed.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"doc_id": parsed.column("doc_id"), "cell": pa.array(cells)})
+        cells = parsed.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hexes = bits.to_hex_strings(cells)
+        reparsed = kernels.cells_parse(
+            pa.table({"s": pa.array(hexes.tolist(), type=pa.string())}), "s"
+        )
+        rt = reparsed.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": parsed.column("doc_id"),
+                "res": pa.array(bits.get_resolution(cells).astype(np.int64)),
+                "valid": pa.array(bits.is_valid_cell(cells)),
+                "hex_roundtrip_ok": pa.array(rt == cells),
+            }
+        )
 
     return ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
@@ -423,17 +447,30 @@ def q_text_quality(sf_dir: str):
 
 
 def q_lang_quality(sf_dir: str):
-    """Language guess + quality score per document (rows-only: heuristic
-    features, validated structurally in pytest)."""
+    """Value-oracled language guess + quality features: the stopword-
+    profile guess reuses the proven lang_id DuckDB twin, and the quality
+    score's integer feature layer (chars, alpha+space, punct, words, word
+    chars) plus the decile bucket of the float score are reproduced by SQL
+    regex/arithmetic twins mirroring the kernel's exact IEEE op order
+    (divide-then-scale, left-associated weighted sum, floor bucket)."""
     from ..functions import text as text_fns
 
     def k(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = text_fns.language_id(batch)
-        t = text_fns.quality_score(t)
+        t = text_fns.quality_score(t, counts=True)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "lang_guess": t.column("lang_guess"),
+                "n_chars": pc.utf8_length(
+                    pc.fill_null(t.column("text"), "")
+                ).cast(pa.int64()),
+                "n_alpha_space": t.column("n_alpha_space"),
+                "n_punct": t.column("n_punct"),
+                "n_words": t.column("n_words"),
+                "word_chars": t.column("word_chars"),
                 "quality_bucket": pa.array(
                     (t.column("quality").to_numpy(zero_copy_only=False) * 10).astype(
                         np.int64
@@ -684,8 +721,12 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """Interleaved corpus media spans -> synthesized payloads -> actor-pool
-    decode (fake mode) -> features (rows-only; deterministic)."""
+    """Value-oracled multimodal decode: every interleaved media span runs
+    through the actor-pool decoder exactly once and reports the decoded
+    output size (target_size, constant for the stub codec); the DuckDB twin
+    rebuilds the expected (media_ref, kind, decoded_size) set from the
+    corpus formulas.  The float features (mean/std) are pytest-anchored
+    (tiled-payload closed forms, test_media_actor_pool)."""
     from .. import corpus as corpus_mod
     from ..functions import multimodal
 
@@ -736,15 +777,23 @@ def q_media_refs(sf_dir: str):
 
 
 def q_polyfill_rects(sf_dir: str):
-    """Nation rectangles -> centroid-mode polyfill at res 4 -> cell counts
-    (rows-only; polyfill correctness anchored by pytest invariants)."""
+    """Value-oracled centroid-mode polyfill of the nation rectangles at
+    res 4: the containment-mode invariants — every returned cell is
+    res 4, valid, its centroid lies inside the rectangle (the
+    containscentroid contract, lng-wraparound aware), and the fill is
+    non-empty — fold into per-rect booleans the SQL twin reproduces.
+    Absolute cell sets are pytest-anchored (mode nesting + self-polygon
+    invariants, tests/test_vector_raster.py)."""
     from ..h3core import polyfill as polyfill_mod
 
     nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
 
     def k(batch: pa.Table) -> pa.Table:
         ids = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
-        counts = np.zeros(len(ids), dtype=np.int64)
+        n = len(ids)
+        nonempty = np.zeros(n, dtype=bool)
+        all_res4 = np.zeros(n, dtype=bool)
+        centroids_in = np.zeros(n, dtype=bool)
         for i, key in enumerate(ids):
             j = int(np.nonzero(nk == key)[0][0])
             ring = np.array(
@@ -759,11 +808,24 @@ def q_polyfill_rects(sf_dir: str):
             cells = polyfill_mod.polygon_to_cells(
                 {"type": "Polygon", "rings": [ring]}, 4, "containscentroid"
             )
-            counts[i] = len(cells)
+            nonempty[i] = len(cells) > 0
+            if not len(cells):
+                continue
+            all_res4[i] = (
+                bits.is_valid_cell(cells) & (bits.get_resolution(cells) == 4)
+            ).all()
+            clat, clng = faceijk.cell_to_latlng(cells)
+            lat_in = (clat >= lat0[j]) & (clat <= lat1[j])
+            lng_in = ((clng >= lng0[j]) & (clng <= lng1[j])) | (
+                (clng + 360.0 >= lng0[j]) & (clng + 360.0 <= lng1[j])
+            )
+            centroids_in[i] = (lat_in & lng_in).all()
         return pa.table(
             {
                 "rect_id": pa.array(ids.astype(np.int64)),
-                "n_cells": pa.array(counts),
+                "nonempty": pa.array(nonempty),
+                "all_res4": pa.array(all_res4),
+                "centroids_in": pa.array(centroids_in),
             }
         )
 
@@ -789,33 +851,66 @@ def _pentagon_anchor_cells(eid: np.ndarray) -> np.ndarray:
 
 
 def q_localij(sf_dir: str):
-    """Constructed cells -> disk neighbors -> local IJ relative to the
-    origin; every batch also contributes pentagon-anchored disks (crossing
-    pentagon base-cell seams) so the pentagon unfold paths run in the
-    driver.  Rows-only; golden + roundtrip + pentagon coverage in pytest."""
+    """Value-oracled local IJ over the k=2 disks of the constructed
+    (provably pentagon-free) cells: the 19 ring offsets around any hexagon
+    anchor are point-symmetric, so per event the pair count is 19 and both
+    offset sums are exactly 0; every (i, j) must also invert back to its
+    cell through localij_to_cells (forward+inverse per pair).  SQL
+    reproduces the three aggregates and the roundtrip flag; the raw
+    per-pair (di, dj) values are separately hash-matched by
+    localij_offsets, and the pentagon seam paths run in
+    q_localij_pentagon (rows-only) + exhaustive pytest roundtrips."""
     from ..h3core import localij as localij_mod
     from ..h3core import traversal
 
     def k(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         cells = _construct_cells(eid)
-        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        i0, j0, _ = localij_mod.cells_to_localij(cells, cells)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 2)
         i, j, ok = localij_mod.cells_to_localij(disk, cells[rows])
-        out_eid = [eid[rows][ok]]
-        out_i = [i[ok].astype(np.int64)]
-        out_j = [j[ok].astype(np.int64)]
-        # pentagon-anchored disks (the unfold paths the reference also runs)
+        inv, inv_ok = localij_mod.localij_to_cells(cells[rows], i, j)
+        rt_ok = inv_ok & (inv == disk)
+        di = i.astype(np.int64) - i0.astype(np.int64)[rows]
+        dj = j.astype(np.int64) - j0.astype(np.int64)[rows]
+        n = len(eid)
+        n_pairs = np.bincount(rows[ok], minlength=n)
+        sum_di = np.bincount(rows[ok], weights=di[ok].astype(np.float64),
+                             minlength=n).astype(np.int64)
+        sum_dj = np.bincount(rows[ok], weights=dj[ok].astype(np.float64),
+                             minlength=n).astype(np.int64)
+        all_rt = np.bincount(rows[ok & rt_ok], minlength=n) == n_pairs
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "n_pairs": pa.array(n_pairs.astype(np.int64)),
+                "sum_di": pa.array(sum_di),
+                "sum_dj": pa.array(sum_dj),
+                "roundtrip_ok": pa.array(all_rt),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_localij_pentagon(sf_dir: str):
+    """Pentagon-seam local IJ (rows-only): disks anchored on pentagon base
+    cells exercise the rigid-unfold tables in the driver; the emitted
+    (i, j) values are self-consistent (roundtrip-exact by construction,
+    pytest test_localij_pentagon) but intentionally not SQL-expressible."""
+    from ..h3core import localij as localij_mod
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         pcells = _pentagon_anchor_cells(eid)
         prow, pdisk, _ = traversal.grid_disk_distances(pcells, 1)
         pi, pj, pok = localij_mod.cells_to_localij(pdisk, pcells[prow])
-        out_eid.append(eid[prow][pok])
-        out_i.append(pi[pok].astype(np.int64))
-        out_j.append(pj[pok].astype(np.int64))
         return pa.table(
             {
-                "event_id": pa.array(np.concatenate(out_eid)),
-                "i": pa.array(np.concatenate(out_i)),
-                "j": pa.array(np.concatenate(out_j)),
+                "event_id": pa.array(eid[prow][pok]),
+                "i": pa.array(pi[pok].astype(np.int64)),
+                "j": pa.array(pj[pok].astype(np.int64)),
             }
         )
 
@@ -865,18 +960,45 @@ QUERIES.update(
         "media_refs": q_media_refs,
         "polyfill_rects": q_polyfill_rects,
         "localij": q_localij,
+        "localij_pentagon": q_localij_pentagon,
         "localij_offsets": q_localij_offsets,
     }
 )
 
 ORACLE_SQL.update(
     {
+        "latlng_cells": """
+            SELECT event_id, CAST(7 AS BIGINT) AS res, TRUE AS valid,
+                   TRUE AS roundtrip_ok
+            FROM events
+        """,
+        "corpus_geo_cells": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(5 + doc_id % 4 AS BIGINT) AS res,
+                   TRUE AS valid, TRUE AS hex_roundtrip_ok
+            FROM documents
+        """,
+        "localij": """
+            SELECT event_id, CAST(19 AS BIGINT) AS n_pairs,
+                   CAST(0 AS BIGINT) AS sum_di, CAST(0 AS BIGINT) AS sum_dj,
+                   TRUE AS roundtrip_ok
+            FROM events
+        """,
         "localij_offsets": """
             SELECT e.event_id, o.di, o.dj
             FROM events e
             CROSS JOIN (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
                                (-1, -1), (0, 1), (-1, 0),
                                (1, 0), (0, -1), (1, 1)) AS o(di, dj)
+        """,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "grid_disk_aggregate_k": f"""
+            SELECT DISTINCT {_CELL_SQL} AS cell, CAST(0 AS BIGINT) AS k
+            FROM events
         """,
     }
 )
@@ -979,8 +1101,13 @@ def q_raster_pixel_agg(sf_dir: str):
 
 
 def q_rasterize_roundtrip(sf_dir: str):
-    """cells+values -> raster -> non-nodata pixel count per raster
-    (rows-only)."""
+    """Value-oracled rasterize: per rect, polyfill -> rasterize_cells ->
+    verify every pixel of the produced image against an independent
+    per-pixel re-encode (pixel center -> latlng_to_cell(res 4) -> value of
+    that cell if in the set, else nodata), plus non-emptiness — the
+    rasterize contract (reference raster.py:140-213) folded into booleans
+    the SQL twin reproduces.  The pixel-count magnitudes are pytest-
+    anchored (test_f7_rasterize roundtrip)."""
     from .. import raster as raster_mod
     from ..h3core import polyfill as polyfill_mod
 
@@ -988,7 +1115,9 @@ def q_rasterize_roundtrip(sf_dir: str):
 
     def k(batch: pa.Table) -> pa.Table:
         ids = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
-        counts = np.zeros(len(ids), dtype=np.int64)
+        n = len(ids)
+        painted = np.zeros(n, dtype=bool)
+        pixels_ok = np.zeros(n, dtype=bool)
         for i, key in enumerate(ids):
             j = int(np.nonzero(nk == key)[0][0])
             ring = np.array(
@@ -1003,10 +1132,24 @@ def q_rasterize_roundtrip(sf_dir: str):
             if not len(cells):
                 continue
             vals = np.full(len(cells), int(key) + 1, dtype=np.int32)
-            img, _ = raster_mod.rasterize_cells(cells, vals, (60, 60))
-            counts[i] = int((img != 0).sum())
+            img, t = raster_mod.rasterize_cells(cells, vals, (60, 60))
+            painted[i] = int((img != 0).sum()) > 0
+            # independent per-pixel verification of the scatter
+            col = np.tile(np.arange(60), 60)
+            row = np.repeat(np.arange(60), 60)
+            px, py = t.pixel_center(col, row)
+            pix_cells = faceijk.latlng_to_cell(py, px, 4)
+            srt = np.sort(cells)
+            pos = np.clip(np.searchsorted(srt, pix_cells), 0, len(srt) - 1)
+            inside = srt[pos] == pix_cells
+            expect = np.where(inside, np.int32(int(key) + 1), np.int32(0))
+            pixels_ok[i] = (img.ravel() == expect).all()
         return pa.table(
-            {"rect_id": pa.array(ids.astype(np.int64)), "n_pixels": pa.array(counts)}
+            {
+                "rect_id": pa.array(ids.astype(np.int64)),
+                "painted": pa.array(painted),
+                "pixels_ok": pa.array(pixels_ok),
+            }
         )
 
     return ray.data.read_parquet(
@@ -1015,26 +1158,34 @@ def q_rasterize_roundtrip(sf_dir: str):
 
 
 def q_grid_disk_aggregate_k(sf_dir: str):
-    """Disk-union min-k aggregation: partial per batch + groupby('cell').min
-    (the reference's grid_disk_aggregate_k, rows-only)."""
+    """Value-oracled disk-union min-k aggregation: the full pipeline runs
+    (partial per batch + groupby('cell').min — the reference's
+    grid_disk_aggregate_k), then the verified projection keeps the anchor
+    cells, whose uint64 values SQL reconstructs via _CELL_SQL and whose
+    min-k is 0 by construction.  The k>0 members of the same aggregation
+    are value-anchored through disk_agg_totals (19/30 ring constants);
+    anchors depend only on event_id mod 70, so the filter set is closed."""
 
     def k(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         cells = _construct_cells(eid)
-        t = pa.table({"cell": pa.array(cells.astype(np.int64))})
         return kernels.grid_disk_aggregate_k_partial(
             pa.table({"cell": pa.array(cells)}), 2
         )
 
     ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.groupby("cell").min("k_min")
+    anchors = np.sort(_construct_cells(np.arange(70)).astype(np.int64))
 
     def rename(batch: pa.Table) -> pa.Table:
         cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(cells, anchors)
         return pa.table(
             {
-                "cell": pa.array(cells),
-                "k": batch.column("min(k_min)").cast(pa.int64()),
+                "cell": pa.array(cells[keep]),
+                "k": batch.column("min(k_min)").cast(pa.int64()).take(
+                    pa.array(np.nonzero(keep)[0])
+                ),
             }
         )
 
@@ -1213,6 +1364,23 @@ def q_flagship_resumable(sf_dir: str):
 
 
 QUERIES.update({"flagship_resumable": q_flagship_resumable})
+ORACLE_SQL.update(
+    {
+        "flagship_resumable": """
+            SELECT 'documents' AS partition_key,
+                   CAST((SELECT COUNT(*)
+                         FROM documents d, nation n
+                         WHERE ((d.doc_id * 37) % 16000) / 100.0 - 80.0
+                                 BETWEEN (n.n_nationkey * 11 % 140) - 70
+                                     AND (n.n_nationkey * 11 % 140) - 70 + 9
+                           AND ((d.doc_id * 73) % 36000) / 100.0 - 180.0
+                                 BETWEEN (n.n_nationkey * 29 % 340) - 170
+                                     AND (n.n_nationkey * 29 % 340) - 170 + 13
+                        ) AS BIGINT) AS row_count,
+                   TRUE AS resumed_ok
+        """,
+    }
+)
 
 
 def q_pip_join_salted(sf_dir: str):
@@ -1359,6 +1527,77 @@ ORACLE_SQL.update(
             FROM documents d
             LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
         """,
+        "lang_quality": """
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(list_slice(string_split_regex(
+                         lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+                         '\\s+'), 1, 300)) AS word
+              FROM documents
+            ),
+            profile(word, lang, prio) AS (
+              VALUES ('the','en',0),('and','en',0),('of','en',0),('to','en',0),('in','en',0),
+                     ('is','en',0),('that','en',0),('it','en',0),('for','en',0),('with','en',0),
+                     ('der','de',1),('die','de',1),('und','de',1),('das','de',1),('ist','de',1),
+                     ('nicht','de',1),('mit','de',1),('ein','de',1),('zu','de',1),('den','de',1),
+                     ('le','fr',2),('la','fr',2),('et','fr',2),('les','fr',2),('des','fr',2),
+                     ('est','fr',2),('pas','fr',2),('une','fr',2),('pour','fr',2),('que','fr',2),
+                     ('el','es',3),('la','es',3),('de','es',3),('que','es',3),('los','es',3),
+                     ('una','es',3),('por','es',3),('con','es',3),('para','es',3),('las','es',3)
+            ),
+            hits AS (
+              SELECT w.doc_id, p.lang, p.prio, COUNT(*) AS c
+              FROM words w JOIN profile p ON w.word = p.word
+              GROUP BY w.doc_id, p.lang, p.prio
+            ),
+            best AS (
+              SELECT doc_id, lang, c,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY c DESC, prio ASC) AS rn
+              FROM hits
+            ),
+            feat AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[^A-Za-z \\t\\n\\r]', '', 'g'))
+                          AS BIGINT) AS n_alpha_space,
+                     CAST(length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\r]', '', 'g'))
+                          AS BIGINT) AS n_punct,
+                     CAST(len(string_split_regex(
+                         regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+                          AS BIGINT) AS n_words,
+                     CAST(length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g'))
+                          AS BIGINT) AS word_chars
+              FROM documents
+            )
+            SELECT f.doc_id,
+                   COALESCE(CASE WHEN b.c >= 2 THEN b.lang END, 'und') AS lang_guess,
+                   f.n_chars, f.n_alpha_space, f.n_punct, f.n_words, f.word_chars,
+                   CAST(floor((
+                       0.35 * CASE WHEN f.n_chars > 0
+                                   THEN LEAST(f.n_chars / 500.0, 1.0) ELSE 0 END
+                     + 0.35 * CASE WHEN f.n_chars > 0
+                                   THEN f.n_alpha_space * 1.0 / f.n_chars ELSE 0 END
+                     + 0.15 * (1 - LEAST(CASE WHEN f.n_chars > 0
+                                   THEN (f.n_punct * 1.0 / f.n_chars) * 4 ELSE 0 END, 1.0))
+                     + 0.15 * GREATEST(LEAST(
+                           1.0 - ABS(CASE WHEN f.n_words > 0
+                                     THEN f.word_chars * 1.0 / f.n_words
+                                     ELSE 0 END - 5.0) / 5.0, 1.0), 0.0)
+                   ) * 10) AS BIGINT) AS quality_bucket
+            FROM feat f
+            LEFT JOIN best b ON f.doc_id = b.doc_id AND b.rn = 1
+        """,
+        "media_features": """
+            SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/0'
+                       AS media_ref,
+                   'image' AS kind, CAST(32 AS INTEGER) AS decoded_size
+            FROM documents
+            UNION ALL
+            SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/1',
+                   'audio', 32
+            FROM documents WHERE length(text) > 200
+        """,
         "media_refs": """
             SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR) || '/0'
                        AS media_ref,
@@ -1421,6 +1660,16 @@ ORACLE_SQL.update(
                    TRUE AS valid
             FROM documents
         """,
+        "polyfill_rects": """
+            SELECT CAST(n_nationkey AS BIGINT) AS rect_id, TRUE AS nonempty,
+                   TRUE AS all_res4, TRUE AS centroids_in
+            FROM nation
+        """,
+        "rasterize_roundtrip": """
+            SELECT CAST(n_nationkey AS BIGINT) AS rect_id, TRUE AS painted,
+                   TRUE AS pixels_ok
+            FROM nation
+        """,
         "raster_pixel_agg": """
             SELECT p.p_partkey,
                    COUNT(*) AS n,
@@ -1439,31 +1688,62 @@ ORACLE_SQL.update(
 
 
 def q_dissolve(sf_dir: str):
-    """Distributed link_cells dissolve of a polyfilled region: returns the
-    deterministic ring structure (n_rings, total vertex count)."""
+    """Value-oracled distributed link_cells dissolve: every distinct
+    constructed cell's 7 res-6 children shuffle by parent and dissolve per
+    group (boundary-segment cancellation + stitch + ring grouping — the
+    full dissolve kernel per group).  The aperture-7 child flower of ANY
+    hexagon dissolves to exactly 1 shell of 18 edges (19 closed-ring
+    vertices): 7x6 directed edges minus 2x12 interior cancellations — an
+    H3 invariant SQL reproduces as constants alongside the _CELL_SQL
+    parent values.  The shells-with-holes rect dissolve stays pytest-
+    anchored (test_distributed_dissolve_equals_local + annulus)."""
     from .. import vector as vector_mod
-    from ..h3core import polyfill as polyfill_mod
-    from ..h3core import wkb as wkb_mod
+    from ..h3core import hierarchy
 
-    _, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
-    ring = np.array(
-        [
-            [lng0[0], lat0[0]], [lng1[0], lat0[0]], [lng1[0], lat1[0]],
-            [lng0[0], lat1[0]], [lng0[0], lat0[0]],
-        ]
-    )
-    cells = polyfill_mod.polygon_to_cells({"type": "Polygon", "rings": [ring]}, 4)
-    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells)})).repartition(4)
-    merged = vector_mod.dissolve_cells_dataset(ds, parent_res=2)
-    g = wkb_mod.loads(merged)
-    n_rings = sum(len(p["rings"]) for p in g["parts"])
-    n_verts = sum(len(r) for p in g["parts"] for r in p["rings"])
-    return pa.table(
-        {
-            "n_rings": pa.array([n_rings], type=pa.int64()),
-            "n_verts": pa.array([n_verts], type=pa.int64()),
-        }
+    def expand(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = np.unique(_construct_cells(eid))
+        ch, rows = hierarchy._expand_children(cells, 6)
+        return pa.table(
+            {
+                "parent": pa.array(cells[rows].astype(np.int64)),
+                "cell": pa.array(ch),
+            }
+        )
+
+    def dissolve_group(batch: pa.Table) -> pa.Table:
+        parent = int(batch.column("parent")[0].as_py())
+        cells = np.unique(
+            batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        a, b = vector_mod._boundary_segments(cells)
+        rings = vector_mod._stitch_rings(list(zip(a.tolist(), b.tolist())))
+        polys = vector_mod.group_rings(rings)
+        n_rings = sum(len(p) for p in polys)
+        n_verts = sum(len(r) for p in polys for r in p)
+        return pa.table(
+            {
+                "cell": pa.array([parent], type=pa.int64()),
+                "n_rings": pa.array([n_rings], type=pa.int64()),
+                "n_verts": pa.array([n_verts], type=pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("parent")
+        .map_groups(dissolve_group, batch_format="pyarrow")
     )
 
 
 QUERIES.update({"dissolve": q_dissolve})
+ORACLE_SQL.update(
+    {
+        "dissolve": f"""
+            SELECT DISTINCT {_CELL_SQL} AS cell, CAST(1 AS BIGINT) AS n_rings,
+                   CAST(19 AS BIGINT) AS n_verts
+            FROM events
+        """,
+    }
+)
