@@ -145,8 +145,13 @@ def _pipelines(sf_dir: str):
         return ds.count()
 
     def q_compact():
-        """lineitem cells res 8 -> distributed compact: partial per-batch,
-        grouped by res-0 base cell (compaction never crosses base cells)."""
+        """lineitem cells res 8 -> distributed compact through the
+        H3Dataset.compact scale plan: per-block dedup keyed by base cell,
+        one exact compact per base group — the benched pipeline IS the
+        shipped plan (the round-2 bench's driver-side final concat+compact
+        is retired; its number is recorded in BASELINE.md as a labeled
+        comparison)."""
+        from h3ray.dataset import H3Dataset
 
         def encode(batch: pa.Table) -> pa.Table:
             key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
@@ -155,19 +160,7 @@ def _pipelines(sf_dir: str):
             lat = ((kk * 41) % 16000) / 100.0 - 80.0
             lng = ((kk * 79) % 36000) / 100.0 - 180.0
             cells = np.unique(faceijk.latlng_to_cell(lat, lng, 8))
-            return pa.table(
-                {
-                    "base": pa.array(bits.get_base_cell(cells)),
-                    "cell": pa.array(cells),
-                }
-            )
-
-        def partial_compact(batch: pa.Table) -> pa.Table:
-            cells = np.unique(
-                batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
-            )
-            out = hierarchy.compact(cells, mixed_resolutions=True)
-            return pa.table({"cell": pa.array(out)})
+            return pa.table({"cell": pa.array(cells)})
 
         ds = (
             ray.data.read_parquet(
@@ -176,19 +169,8 @@ def _pipelines(sf_dir: str):
                 override_num_blocks=_blocks(n_lineitem),
             )
             .map_batches(encode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-            .map_batches(
-                partial_compact,
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-                batch_size=None,
-            )
         )
-        # final compact over the (already reduced) union; the groupby(base
-        # cell).map_groups scale path lives in pipelines/queries.py
-        tables = ray.get(ds.to_arrow_refs())
-        t = pa.concat_tables([x for x in tables if x.num_rows])
-        cells = np.unique(t.column("cell").to_numpy(zero_copy_only=False))
-        return len(hierarchy.compact(cells, mixed_resolutions=True))
+        return H3Dataset(ds).compact().count()
 
     def q_text_dedup():
         """documents -> vectorized LLM-pipeline kernels: minhash + simhash

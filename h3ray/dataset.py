@@ -85,18 +85,29 @@ class H3Dataset:
         return self._wrap(kernels.uncompact_kernel, res=res, cell_col=cell_col)
 
     def compact(self, cell_col="cell"):
-        """Distributed compact: partial per-block compaction, then grouped
-        by res-0 base cell (parent chains never cross base cells, so the
-        per-group compact is globally exact)."""
+        """Distributed compact: per-block dedup keyed by the res-0 base
+        cell, then ONE exact compact per base group (parent chains never
+        cross base cells, and base groups see every copy of their cells,
+        so the result is globally exact for any block layout).
+
+        Deliberately NOT a per-block partial compaction: if a complete
+        sibling set is split across blocks, a partial pass can promote it
+        in one block while another block still holds a subset of the same
+        siblings, and the final group then cannot re-merge them — the
+        composed result diverges from a one-shot compact.  Per-block work
+        is therefore only dedup (which is what actually shrinks scattered
+        inputs; random fine cells almost never form complete sibling sets
+        within one block anyway).  At extreme single-base skew, group by a
+        finer res-R ancestor instead and run one extra pass for the cells
+        that compact all the way up to res R."""
         from .h3core import bits, hierarchy
 
         def partial(batch: pa.Table) -> pa.Table:
             cells = np.unique(
                 batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
             )
-            out = hierarchy.compact(cells, mixed_resolutions=True)
             return pa.table(
-                {"base": pa.array(bits.get_base_cell(out)), cell_col: pa.array(out)}
+                {"base": pa.array(bits.get_base_cell(cells)), cell_col: pa.array(cells)}
             )
 
         def per_group(batch: pa.Table) -> pa.Table:

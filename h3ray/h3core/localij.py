@@ -428,13 +428,12 @@ def _pent_inverse(anchors, coord, res_arr):
     return out, found
 
 
-def grid_distance(a: np.ndarray, b: np.ndarray):
-    """Grid distance between cell pairs via local IJ (the H3 gridDistance
-    construction: unfold b into a's frame, hex-distance the coordinates).
-    Returns (dist, ok); ok=False where the unfold fails (res mismatch,
-    non-adjacent base cells, ambiguous pentagon folds)."""
-    a = np.asarray(a, dtype=np.uint64)
-    b = np.asarray(b, dtype=np.uint64)
+def _unfold_distance(a: np.ndarray, b: np.ndarray):
+    """Hex norm of b unfolded into a's local IJ frame (the raw H3
+    gridDistance construction).  Exact for same-base pairs; across base
+    seams the icosahedron bends the lattice, so the norm can over- OR
+    under-state the true distance (measured up to +-7 at k=6 even on
+    pentagon-free seams) — callers must certify cross-base results."""
     ia, ja, oka = cells_to_localij(a, a)
     ib, jb, okb = cells_to_localij(b, a)
     di = ib.astype(np.int64) - ia.astype(np.int64)
@@ -443,15 +442,87 @@ def grid_distance(a: np.ndarray, b: np.ndarray):
     return np.abs(coord).max(axis=1), oka & okb
 
 
-def grid_path_cells(a: np.ndarray, b: np.ndarray):
+def _lookup_in_disks(origins: np.ndarray, targets: np.ndarray, k: int):
+    """For each (origin, target) pair: BFS ring distance if target lies in
+    origin's k-disk, else -1.  Vectorized: one grid_disk_distances call
+    over the unique origins + compact-id key join."""
+    from . import traversal
+
+    n = len(origins)
+    out = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return out
+    ua, inv = np.unique(origins, return_inverse=True)
+    rows, disk, dist = traversal.grid_disk_distances(ua, k)
+    # compact ids so (origin row, cell) packs into one sortable int64 key
+    all_cells = np.unique(np.concatenate([disk, targets]))
+    m = len(all_cells)
+    key = rows.astype(np.int64) * m + np.searchsorted(all_cells, disk)
+    order = np.argsort(key)
+    key_s, dist_s = key[order], dist[order]
+    q = inv * m + np.searchsorted(all_cells, targets)
+    pos = np.searchsorted(key_s, q)
+    pos = np.clip(pos, 0, len(key_s) - 1)
+    hit = key_s[pos] == q
+    out[hit] = dist_s[pos[hit]].astype(np.int64)
+    return out
+
+
+def grid_distance(a: np.ndarray, b: np.ndarray, max_k: int = 8):
+    """Exact-or-flagged grid distance between cell pairs.
+
+    Same-HEXAGON-base pairs go through the local-IJ unfold (a true
+    isometry within one hexagon base cell — verified exhaustively for all
+    res-2 pairs of every base and all res-3 pairs of pentagon-adjacent
+    bases up to distance 22, tests/test_localij_pentagon.py).  Everything
+    else — cross-base pairs AND same-PENTAGON-base pairs — is answered by
+    BFS disk lookup (grid_disk_distances) up to ``max_k`` rings: the
+    unfolded frame bends across base seams (planar hex norm measured
+    wrong for up to 8% of k=6 pairs, including direct neighbors on
+    pentagon-adjacent seams), and within a pentagon base the missing 60
+    degree wedge shortcuts long arcs around the apex (first divergence at
+    res-3 distance 6).  Pairs beyond ``max_k`` on the BFS path return
+    ok=False — the H3-style refusal (h3 gridDistance likewise fails
+    rather than guess once local IJ leaves its validity region).
+    Returns (dist, ok)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    same = bits.get_base_cell(a) == bits.get_base_cell(b)
+    same &= bits.get_resolution(a) == bits.get_resolution(b)
+    same &= ~BASE_CELL_IS_PENTAGON[bits.get_base_cell(a).astype(np.int64)]
+    d = np.zeros(len(a), dtype=np.int64)
+    ok = np.zeros(len(a), dtype=bool)
+    if same.any():
+        du, oku = _unfold_distance(a[same], b[same])
+        d[same] = du
+        ok[same] = oku
+    cross = ~same & (bits.get_resolution(a) == bits.get_resolution(b))
+    if cross.any():
+        dc = _lookup_in_disks(a[cross], b[cross], max_k)
+        d[cross] = np.maximum(dc, 0)
+        ok[cross] = dc >= 0
+    return d, ok
+
+
+def grid_path_cells(a: np.ndarray, b: np.ndarray, max_k: int = 8):
     """Minimal cell path between pairs (H3 gridPathCells construction:
     cube-lerp in a's local IJ frame, rounded per step, decoded back).
     Returns (row_idx, path_cells, ok_mask); path rows include both
-    endpoints in order, row_idx maps each path cell to its input pair."""
+    endpoints in order, row_idx maps each path cell to its input pair.
+
+    Exact-or-flagged: the lerp frame is only trusted where its hex norm
+    equals the certified grid_distance (always true same-base; across base
+    seams the BFS-certified distance gates it), and every emitted path is
+    verified step-by-step — consecutive cells must be true grid neighbors
+    (the unfolded frame can distort mid-path across a seam even when the
+    endpoint distance agrees).  Pairs failing any check return ok=False
+    with no partial list."""
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     n = len(a)
-    dist, ok = grid_distance(a, b)
+    dist, ok = grid_distance(a, b, max_k)
+    un, oku = _unfold_distance(a, b)
+    ok = ok & oku & (un == dist)
     ia, ja, _ = cells_to_localij(a, a)
     ib, jb, okb = cells_to_localij(b, a)
     steps = np.where(ok, dist, 0).astype(np.int64)
@@ -491,7 +562,23 @@ def grid_path_cells(a: np.ndarray, b: np.ndarray):
     # ambiguous pentagon fold) fails wholesale: emit no partial lists
     ok_final = ok & (np.bincount(row[keep], minlength=n) == counts)
     keep &= ok_final[row]
-    return row[keep], cells[keep], ok_final
+    row_k, cells_k = row[keep], cells[keep]
+    # step-adjacency verification: consecutive path cells of one pair must
+    # be true grid neighbors (BFS k=1 membership)
+    if len(cells_k) > 1:
+        same_pair = row_k[1:] == row_k[:-1]
+        if same_pair.any():
+            step_d = _lookup_in_disks(
+                cells_k[:-1][same_pair], cells_k[1:][same_pair], 1
+            )
+            bad_step = step_d != 1
+            if bad_step.any():
+                bad_pairs = np.unique(row_k[:-1][same_pair][bad_step])
+                ok_final = ok_final.copy()
+                ok_final[bad_pairs] = False
+                keep2 = ok_final[row_k]
+                row_k, cells_k = row_k[keep2], cells_k[keep2]
+    return row_k, cells_k, ok_final
 
 
 def localij_to_cells(anchors: np.ndarray, i: np.ndarray, j: np.ndarray):

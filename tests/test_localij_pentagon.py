@@ -115,24 +115,36 @@ def test_ring1_offsets_constant_set():
 
 
 def test_grid_distance_matches_bfs():
-    """localij-based grid_distance reproduces BFS ring distances on disks
-    (hexagon areas exactly; pentagon areas on every succeeding pair)."""
-    from h3ray.h3core import faceijk
+    """Exact-or-flagged contract: grid_distance must reproduce BFS ring
+    distances on EVERY ok pair (hexagon same-base via the verified unfold;
+    cross-base and pentagon-base via the certified BFS path).  Exhaustive
+    at res 1 (all cells x k=6 disks, includes every base seam and every
+    pentagon), sampled at res 2."""
+    from h3ray.h3core import bits, hierarchy
 
-    rng = np.random.default_rng(11)
-    cells = faceijk.latlng_to_cell(
-        rng.uniform(-80, 80, 60), rng.uniform(-180, 180, 60), 6
-    )
-    rows, disk, dist = traversal.grid_disk_distances(cells, 3)
+    base = bits.init_cell(0, 122)
+    base = bits.set_base_cell(base, np.arange(122, dtype=np.uint64))
+    cells, _ = hierarchy._expand_children(base, 1)
+    rows, disk, dist = traversal.grid_disk_distances(cells, 6)
     d, ok = localij.grid_distance(cells[rows], disk)
     assert ok.all()
-    assert (d == dist).mean() > 0.995  # far-corner unfold distortion caveat
-    # pentagon-area pairs
-    p = cells_of_bc(14, 2)
-    rows, disk, dist = traversal.grid_disk_distances(p[:30], 3)
-    d, ok = localij.grid_distance(p[:30][rows], disk)
-    assert ok.mean() > 0.9
-    assert (d[ok] == dist[ok]).all()
+    assert (d == dist).all()
+    cells2, _ = hierarchy._expand_children(base, 2)
+    cells2 = cells2[::5]
+    rows, disk, dist = traversal.grid_disk_distances(cells2, 6)
+    d, ok = localij.grid_distance(cells2[rows], disk)
+    assert ok.all()
+    assert (d == dist).all()
+    # within-pentagon wedge shortcut: the unfold says 7, the true grid
+    # distance around the apex is 6 — the BFS path must win
+    a = np.array([0x830988FFFFFFFFF], dtype=np.uint64)
+    b = np.array([0x83082AFFFFFFFFF], dtype=np.uint64)
+    du, _ = localij._unfold_distance(a, b)
+    d, ok = localij.grid_distance(a, b)
+    assert int(du[0]) == 7 and ok[0] and int(d[0]) == 6
+    # beyond the BFS cap across a seam: flagged, never guessed
+    d, ok = localij.grid_distance(a, b, max_k=3)
+    assert not ok[0]
 
 
 def test_grid_path_cells_minimal_paths():
