@@ -280,6 +280,93 @@ def run_bench():
     return out
 
 
+def run_flagship_sf1():
+    """End-to-end flagship rehearsal at sf1 scale (10x the sf0.1 corpus):
+    synthesize a 10-fragment document corpus (deterministic doc_id offsets
+    per fragment — no external data), then run the resumable flagship
+    (interleave -> span fingerprint -> geo parse -> encode -> PIP join ->
+    lineage-committed parquet) over all fragments at NUM_CPUS, and run it
+    AGAIN to time the zero-recompute resume.  Prints one JSON line with
+    docs/sec, joined rows, per-partition wall stats and the resume time."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_kernel, batch_format="pyarrow"
+    ).count()
+
+    from h3ray.pipelines.flagship import run_flagship
+
+    n_frags = int(os.environ.get("H3RAY_FLAGSHIP_FRAGMENTS", "10"))
+    src = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    work = tempfile.mkdtemp(prefix="h3ray_sf1_")
+    out_dir = os.path.join(work, "out")
+    try:
+        sf1_dir = os.path.join(work, "corpus")
+        os.makedirs(sf1_dir)
+        shutil.copy(f"{SF_DIR}/nation.parquet", f"{sf1_dir}/nation.parquet")
+        ids = src.column("doc_id").to_numpy(zero_copy_only=False)
+        for i in range(n_frags):
+            frag = src.set_column(
+                src.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array(ids + i * 1_000_000),
+            )
+            pq.write_table(frag, f"{sf1_dir}/documents-{i:03d}.parquet")
+        n_docs = len(src) * n_frags
+
+        # untimed warm pass into a scratch dir: library imports + table
+        # caches load once per core worker (lineage tasks use plain
+        # @ray.remote workers, which the Ray Data warmup above does not
+        # necessarily touch); steady-state throughput is what scales
+        warm_dir = os.path.join(work, "warm")
+        run_flagship(sf1_dir, warm_dir)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
+        t0 = time.perf_counter()
+        r1 = run_flagship(sf1_dir, out_dir)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        r2 = run_flagship(sf1_dir, out_dir)
+        t_resume = time.perf_counter() - t0
+        walls = []
+        lin_dir = os.path.join(out_dir, "_lineage")
+        for f in sorted(os.listdir(lin_dir)):
+            t = pq.read_table(os.path.join(lin_dir, f), columns=["wall_ms"])
+            walls.extend(t.column("wall_ms").to_pylist())
+        out = {
+            "metric": "flagship sf1 end-to-end",
+            "value": round(t1, 3),
+            "unit": "sec",
+            "n_docs": n_docs,
+            "n_fragments": n_frags,
+            "docs_per_sec": round(n_docs / t1),
+            "joined_rows": int(sum(n for _, n in r1["results"])),
+            "partition_wall_ms": {
+                "mean": round(float(np.mean(walls)), 1),
+                "max": round(float(np.max(walls)), 1),
+            },
+            "resume_sec": round(t_resume, 3),
+            "resume_recomputed": r2["computed_now"],
+            "num_cpus": NUM_CPUS,
+            "sf": SF_DIR,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 def _scaling_child(n_points: int):
     """Heavy fixed-size pipeline: synthesize points, encode res 12, disk
     k=1, parent aggregation.  Prints rows/sec."""
@@ -393,5 +480,7 @@ if __name__ == "__main__":
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--flagship" in sys.argv:
+        run_flagship_sf1()
     else:
         run_bench()

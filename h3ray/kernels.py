@@ -448,13 +448,15 @@ def grid_disk_list(
 
 
 def grid_disk_distances_list(
-    batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME
+    batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "disk",
 ) -> pa.Table:
     """Non-flattened grid_disk_distances: {disk: large_list<u64>,
     k: large_list<u32>} per row (the reference names the list column 'cell',
-    h3ronpy/src/op/neighbor.rs:73-107; this engine keeps 'disk' to avoid
-    clobbering the input cell column).  Within-list order is BFS order,
-    not the reference ring order — compare as sets per origin."""
+    h3ronpy/src/op/neighbor.rs:73-107; this engine defaults to 'disk' to
+    avoid clobbering the input cell column — pass ``out_col='cell'`` for
+    drop-in reference naming).  Within-list order is BFS order, not the
+    reference ring order — compare as sets per origin."""
     cells = _u64(batch, cell_col)
     rows, disk, dist = traversal.grid_disk_distances(cells, k)
     order = np.argsort(rows, kind="stable")
@@ -462,9 +464,11 @@ def grid_disk_distances_list(
     counts = np.bincount(rows_s, minlength=len(cells))
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
+    if out_col in batch.column_names:
+        batch = batch.drop_columns([out_col])
     batch = _append(
         batch,
-        "disk",
+        out_col,
         pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk[order])),
     )
     return _append(

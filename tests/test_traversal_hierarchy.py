@@ -144,6 +144,10 @@ def test_grid_disk_list_matches_flat():
         dmap = {int(c): int(k) for c, k in zip(disk[rows == r], dist[rows == r])}
         got = dict(zip(both.column("disk")[r].as_py(), both.column("k")[r].as_py()))
         assert got == dmap
+    # drop-in reference naming: out_col='cell' replaces the input column
+    ref_named = kernels.grid_disk_distances_list(t, 2, out_col="cell")
+    assert ref_named.column("cell").type == pa.large_list(pa.uint64())
+    assert set(ref_named.column("cell")[0].as_py()) == set(disk[rows == 0].tolist())
     empty = pa.table({"cell": pa.array([], type=pa.uint64())})
     assert kernels.grid_disk_list(empty, 2).num_rows == 0
     assert kernels.grid_disk_distances_list(empty, 2).num_rows == 0
