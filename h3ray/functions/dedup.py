@@ -509,3 +509,85 @@ def cosine_pairs_in_bucket(batch: pa.Table, emb_col: str = "embedding",
     a = np.minimum(ids[iu[hit]], ids[ju[hit]])
     b = np.maximum(ids[iu[hit]], ids[ju[hit]])
     return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(sim[iu, ju][hit])})
+
+
+def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
+                         b_col: str = "b", node_col: str = "node",
+                         max_iters: int = 16):
+    """Distributed connected components over a duplicate-pair graph — the
+    clustering step after LSH pair generation in a production dedup
+    pipeline (pick one survivor per component, drop the rest).
+
+    Join-free "hash-to-min" iteration: state rows (ea, eb, node, label)
+    carry every edge endpoint's current label; each round is two groupby
+    scatters — per-NODE min (labels meet across a node's edges) then
+    per-EDGE min (labels flow across each edge) — so the component minimum
+    propagates at least one hop per round and the loop ends in at most
+    graph-diameter rounds (LSH dedup graphs are near-cliques/stars:
+    2-3 rounds).  Labels only ever decrease, so the label sum is strictly
+    monotone and equal sums mean convergence — one cheap aggregate per
+    round, no Dataset.join (whose aggregator spin-up dominates at small
+    scale).  ``nodes_ds`` (one ``node_col`` column) adds isolated nodes as
+    self-edges so they emerge as singleton clusters.
+
+    Each round materializes the bounded state (2|E| + |V| rows); at 100 TB
+    checkpoint the state to parquet per round instead (see
+    embedding_dedup_pipeline's checkpoint_dir pattern).
+
+    Returns a Dataset of (node, cluster) where cluster is the smallest
+    node id in the component.
+    """
+    import ray
+
+    def seed_pairs(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ea": pa.array(np.repeat(a, 2)),
+                "eb": pa.array(np.repeat(b, 2)),
+                "node": pa.array(np.stack([a, b], axis=1).reshape(-1)),
+                "label": pa.array(np.stack([a, b], axis=1).reshape(-1)),
+            }
+        )
+
+    def seed_nodes(batch: pa.Table) -> pa.Table:
+        n = batch.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"ea": pa.array(n), "eb": pa.array(n), "node": pa.array(n),
+             "label": pa.array(n)}
+        )
+
+    state = pairs_ds.map_batches(seed_pairs, batch_format="pyarrow")
+    if nodes_ds is not None:
+        state = state.union(
+            nodes_ds.map_batches(seed_nodes, batch_format="pyarrow")
+        )
+
+    def scatter_min(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        m = int(lab.min())
+        return batch.set_column(
+            batch.schema.get_field_index("label"),
+            "label",
+            pa.array(np.full(len(lab), m, dtype=np.int64)),
+        )
+
+    prev_sum = None
+    for _ in range(max_iters):
+        state = (
+            state.groupby("node").map_groups(scatter_min, batch_format="pyarrow")
+            .groupby(["ea", "eb"]).map_groups(scatter_min, batch_format="pyarrow")
+            .materialize()
+        )
+        s = state.sum("label")
+        if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+            break
+        prev_sum = s
+    out = state.groupby("node").min("label")
+    return out.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "cluster": b.column("min(label)")}
+        ),
+        batch_format="pyarrow",
+    )

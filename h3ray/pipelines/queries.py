@@ -560,6 +560,29 @@ def q_minhash_pairs(sf_dir: str):
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Value-oracled near-dup clustering — the step AFTER pair generation
+    in a production dedup pipeline: exact-tier LSH pairs over the
+    planted-duplicate corpus feed the distributed connected-components
+    operator (join-free hash-to-min label propagation, 2 groupby scatters
+    per round), and every document's cluster id must equal the smallest
+    doc_id sharing its text — the SQL window twin over the same planted
+    corpus.  Multi-hop convergence is pytest-anchored on a chain graph
+    (test_connected_components_chain)."""
+    from ..functions import dedup as dedup_fns
+
+    pairs = q_minhash_pairs(sf_dir)
+
+    def nodes_k(batch: pa.Table) -> pa.Table:
+        batch = _with_planted_dups(batch)
+        return pa.table({"node": batch.column("doc_id").cast(pa.int64())})
+
+    nodes = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(nodes_k, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_fns.connected_components(pairs, nodes)
+
+
 def q_simhash_bands(sf_dir: str):
     """Value-oracled SimHash blocking over the planted-duplicate corpus:
     signatures -> 4x16-bit band buckets -> per-doc count of exact-text
@@ -948,6 +971,7 @@ def q_localij_offsets(sf_dir: str):
 QUERIES.update(
     {
         "text_quality": q_text_quality,
+        "dedup_clusters": q_dedup_clusters,
         "lang_quality": q_lang_quality,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
@@ -1623,6 +1647,12 @@ ORACLE_SQL.update(
             SELECT doc_id,
                    CAST(4 * (COUNT(*) OVER (PARTITION BY text) - 1) AS BIGINT)
                        AS n_exact_band_mates
+            FROM docs2
+        """,
+        "dedup_clusters": _PLANTED_SQL + """
+            SELECT doc_id AS node,
+                   CAST(MIN(doc_id) OVER (PARTITION BY text) AS BIGINT)
+                       AS cluster
             FROM docs2
         """,
         "embedding_dup_pairs": """

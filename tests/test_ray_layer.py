@@ -215,6 +215,29 @@ def test_text_kernels():
     assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
 
 
+def test_connected_components_chain(ray_session):
+    """Hash-to-min connected components converges on a multi-hop chain
+    (needs >1 propagation round), handles isolated nodes as singletons,
+    and labels every component by its min node id."""
+    import ray
+
+    from h3ray.functions import dedup
+
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3, 10], type=pa.int64()),
+         "b": pa.array([2, 3, 4, 11], type=pa.int64())}
+    )
+    nodes = pa.table({"node": pa.array(list(range(1, 13)), type=pa.int64())})
+    out = dedup.connected_components(
+        ray.data.from_arrow(pairs).repartition(3),
+        ray.data.from_arrow(nodes).repartition(2),
+    ).to_pandas()
+    got = dict(zip(out["node"], out["cluster"]))
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    expect.update({n: n for n in [5, 6, 7, 8, 9, 12]})
+    assert got == expect
+
+
 def test_fnv1a_outlier_skew_capped():
     """One huge document must not serialize the jagged FNV kernel: the byte
     loop is capped at FNV_BLOCK_CAP iterations; outliers go through the
