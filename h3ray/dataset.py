@@ -150,6 +150,40 @@ class H3Dataset:
         """Distributed link_cells dissolve; returns merged MultiPolygon WKB."""
         return vector.dissolve_cells_dataset(self.dataset, parent_res, cell_col)
 
+    def convex_hull(self, cell_col: str = "cell"):
+        """Distributed convex hull of the cell set (per-block hulls, exact
+        hull-of-hulls merge); returns the polygon WKB."""
+        return vector.convex_hull_dataset(self.dataset, cell_col)
+
+    def centroid(self, cell_col: str = "cell"):
+        """Centroid of the cell set (mean of cell centers, the reference's
+        MultiPoint centroid): streaming partial sums per block + one tiny
+        merge — no materialization.  Returns (lat, lng) or None."""
+        from .h3core import bits as bits_mod
+        from .h3core import faceijk as faceijk_mod
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            cells = cells[bits_mod.is_valid_cell(cells)]
+            if len(cells) == 0:
+                return pa.table(
+                    {"slat": pa.array([0.0]), "slng": pa.array([0.0]),
+                     "n": pa.array([0], type=pa.int64())}
+                )
+            lat, lng = faceijk_mod.cell_to_latlng(cells)
+            return pa.table(
+                {"slat": pa.array([float(lat.sum())]),
+                 "slng": pa.array([float(lng.sum())]),
+                 "n": pa.array([len(cells)], type=pa.int64())}
+            )
+
+        agg = _mb(self.dataset, partial).sum(["slat", "slng", "n"])  # one pass
+        if not agg or not agg["sum(n)"]:
+            return None
+        return agg["sum(slat)"] / agg["sum(n)"], agg["sum(slng)"] / agg["sum(n)"]
+
     # --- passthrough --------------------------------------------------------
     def __getattr__(self, name):
         # delegate everything else to the underlying Dataset

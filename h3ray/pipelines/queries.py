@@ -873,6 +873,57 @@ def _pentagon_anchor_cells(eid: np.ndarray) -> np.ndarray:
     return h
 
 
+def q_hull_centroid(sf_dir: str):
+    """Value-oracled centroid / convex hull / concave hull (the reference's
+    Rust-only geo algorithms, crates/h3arrow/src/algorithm/centroid.rs:6-43
+    / convex_hull.rs:9-16 / concave_hull.rs:9-16, now first-class here):
+    per distinct constructed cell, the k=1 disk's convex hull must contain
+    all 7 cell centers, the MultiPoint centroid must land inside the
+    center cell (re-encode equality), and the hull ring has >= 6 vertices
+    — invariants SQL states as TRUE per event.  One hull per distinct
+    anchor (70), mapped back to events by anchor."""
+    from .. import vector as vector_mod
+    from ..h3core import traversal
+    from ..h3core import wkb as wkb_mod
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        cells = _construct_cells(eid)
+        uniq, inv = np.unique(cells, return_inverse=True)
+        contains = np.zeros(len(uniq), dtype=bool)
+        cen_in = np.zeros(len(uniq), dtype=bool)
+        verts6 = np.zeros(len(uniq), dtype=bool)
+        for i, c in enumerate(uniq):
+            ca = np.array([c], dtype=np.uint64)
+            _, disk, _ = traversal.grid_disk_distances(ca, 1)
+            ring = np.array(
+                wkb_mod.loads(vector_mod.cells_convex_hull(disk))["parts"][0][
+                    "rings"
+                ][0]
+            )
+            dlat, dlng = faceijk.cell_to_latlng(disk)
+            contains[i] = all(
+                vector_mod._point_in_ring((x, y), ring)
+                for x, y in zip(dlng, dlat)
+            )
+            cen = vector_mod.cells_centroid(disk)
+            enc = faceijk.latlng_to_cell(
+                np.array([cen[0]]), np.array([cen[1]]), 5
+            )
+            cen_in[i] = enc[0] == c
+            verts6[i] = len(ring) - 1 >= 6
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "hull_contains_centers": pa.array(contains[inv]),
+                "centroid_in_center": pa.array(cen_in[inv]),
+                "hull_verts_ge_6": pa.array(verts6[inv]),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_localij(sf_dir: str):
     """Value-oracled local IJ over the k=2 disks of the constructed
     (provably pentagon-free) cells: the 19 ring offsets around any hexagon
@@ -983,6 +1034,7 @@ QUERIES.update(
         "media_features": q_media_features,
         "media_refs": q_media_refs,
         "polyfill_rects": q_polyfill_rects,
+        "hull_centroid": q_hull_centroid,
         "localij": q_localij,
         "localij_pentagon": q_localij_pentagon,
         "localij_offsets": q_localij_offsets,
@@ -1001,6 +1053,11 @@ ORACLE_SQL.update(
                    CAST(5 + doc_id % 4 AS BIGINT) AS res,
                    TRUE AS valid, TRUE AS hex_roundtrip_ok
             FROM documents
+        """,
+        "hull_centroid": """
+            SELECT event_id, TRUE AS hull_contains_centers,
+                   TRUE AS centroid_in_center, TRUE AS hull_verts_ge_6
+            FROM events
         """,
         "localij": """
             SELECT event_id, CAST(19 AS BIGINT) AS n_pairs,

@@ -561,3 +561,166 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
     if not rows:
         return wkb.dumps_multipolygon([])
     return rows[0]["wkb"]
+
+
+# --- centroid / convex hull / concave hull (reference Rust-only algorithms,
+# crates/h3arrow/src/algorithm/centroid.rs:6-43, convex_hull.rs:9-31,
+# concave_hull.rs:9-31; exposed here as first-class operators) -----------------
+
+
+def cells_centroid(cells: np.ndarray):
+    """Centroid of the cell set as the unweighted mean of cell centers —
+    the reference's MultiPoint centroid semantics (centroid.rs:13-23:
+    CellIndexArray::centroid = MultiPoint(to_points).centroid()).
+    Returns (lat, lng) or None for an empty set."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    cells = cells[bits.is_valid_cell(cells)]
+    if len(cells) == 0:
+        return None
+    lat, lng = faceijk.cell_to_latlng(cells)
+    return float(lat.mean()), float(lng.mean())
+
+
+def _convex_hull_points(pts: np.ndarray) -> np.ndarray:
+    """Planar convex hull (Andrew monotone chain) of (x, y) points with a
+    vectorized Akl-Toussaint prune: points strictly inside the quadrilateral
+    of the four axis-extreme points cannot be on the hull and are dropped
+    before the O(h) chain loop, so the Python loop runs over survivors
+    only.  Returns hull vertices in counter-clockwise order (geo's
+    convex_hull orientation), closed (first == last)."""
+    pts = np.unique(pts[np.lexsort((pts[:, 1], pts[:, 0]))], axis=0)
+    if len(pts) <= 2:
+        return np.vstack([pts, pts[:1]])
+    # Akl-Toussaint: drop points strictly inside the extreme quadrilateral
+    corners = np.array(
+        [
+            pts[np.argmin(pts[:, 0])], pts[np.argmin(pts[:, 1])],
+            pts[np.argmax(pts[:, 0])], pts[np.argmax(pts[:, 1])],
+        ]
+    )
+    inside = np.ones(len(pts), dtype=bool)
+    for i in range(4):
+        a, b = corners[i], corners[(i + 1) % 4]
+        cross = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (
+            pts[:, 0] - a[0]
+        )
+        inside &= cross > 1e-30
+    pts = pts[~inside]
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(tuple(p))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = lower[:-1] + upper[:-1]
+    ring.append(ring[0])
+    return np.array(ring, dtype=np.float64)
+
+
+def cells_convex_hull(cells: np.ndarray) -> bytes:
+    """Convex hull polygon (WKB) of the cell set's boundary vertices — the
+    reference's multipolygon convex hull (convex_hull.rs:9-16).  Planar
+    lng/lat, like the rest of the planar geometry family."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    lat, lng, _ = boundary.cell_boundary(cells)
+    hull = _convex_hull_points(np.stack([lng, lat], axis=1))
+    return wkb.dumps_multipolygon([[hull]])
+
+
+def cells_concave_hull(cells: np.ndarray, concavity: float = 2.0) -> bytes:
+    """Concave hull polygon (WKB) of the cell set's boundary vertices:
+    starts from the convex hull and recursively splits any edge longer
+    than ``concavity`` x the local point spacing toward the nearest
+    interior point (the classic edge-refinement construction; same
+    operator family as the reference's geo::ConcaveHull
+    (concave_hull.rs:9-16), not vertex-identical to the geo crate's
+    algorithm — the reference never exposes it to Python, so there is no
+    binding-level contract to match)."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    lat, lng, _ = boundary.cell_boundary(cells)
+    pts = np.unique(np.stack([lng, lat], axis=1), axis=0)
+    hull = _convex_hull_points(pts)[:-1]
+    if len(hull) < 3 or len(pts) <= len(hull):
+        return wkb.dumps_multipolygon([[np.vstack([hull, hull[:1]])]])
+    edge_len = np.linalg.norm(np.diff(np.vstack([hull, hull[:1]]), axis=0), axis=1)
+    spacing = np.median(edge_len) / max(1.0, concavity)
+    ring = [tuple(p) for p in hull]
+    for _ in range(8):  # bounded refinement passes
+        changed = False
+        out = []
+        n = len(ring)
+        used = {tuple(p) for p in ring}
+        for i in range(n):
+            a = np.array(ring[i])
+            b = np.array(ring[(i + 1) % n])
+            out.append(tuple(a))
+            seg = b - a
+            ln = float(np.linalg.norm(seg))
+            if ln <= concavity * spacing:
+                continue
+            mid = (a + b) / 2.0
+            d2 = ((pts - mid) ** 2).sum(axis=1)
+            order = np.argsort(d2)
+            for j in order[: min(8, len(order))]:
+                c = tuple(pts[j])
+                if c in used:
+                    continue
+                # candidate must shorten the boundary locally (dig inward)
+                if (
+                    np.linalg.norm(pts[j] - a) < ln
+                    and np.linalg.norm(pts[j] - b) < ln
+                ):
+                    out.append(c)
+                    used.add(c)
+                    changed = True
+                    break
+        ring = out
+        if not changed:
+            break
+    return wkb.dumps_multipolygon([[np.array(ring + [ring[0]], dtype=np.float64)]])
+
+
+def convex_hull_dataset(ds, cell_col: str = "cell") -> bytes:
+    """Distributed convex hull: per-block hulls (each block reduces its
+    boundary points to its own hull — hull-of-hulls is exact because the
+    hull operator is associative), then one bounded final hull over the
+    concatenated block hulls inside Ray.  Returns the merged polygon WKB."""
+    import ray
+
+    def block_hull(batch: pa.Table) -> pa.Table:
+        cells = np.unique(
+            batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        lat, lng, _ = boundary.cell_boundary(cells)
+        hull = _convex_hull_points(np.stack([lng, lat], axis=1))[:-1]
+        return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})
+
+    def final(batch: pa.Table) -> pa.Table:
+        pts = np.stack(
+            [
+                batch.column("x").to_numpy(zero_copy_only=False),
+                batch.column("y").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        hull = _convex_hull_points(pts)
+        return pa.table(
+            {"wkb": pa.array([wkb.dumps_multipolygon([[hull]])],
+                             type=pa.large_binary())}
+        )
+
+    rows = (
+        ds.map_batches(block_hull, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+        .take(1)
+    )
+    return rows[0]["wkb"]
