@@ -44,15 +44,19 @@ def make_bruteforce_topk_kernel(queries_ref, k: int = 10,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sim = qmat @ x.T  # (Q, B)
         kk = min(k, sim.shape[1])
-        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
-        rows_q = np.repeat(np.asarray(qids, dtype=np.int64), kk)
-        rows_v = ids[top.reshape(-1)]
-        rows_s = np.take_along_axis(sim, top, axis=1).reshape(-1)
+        # keep EVERY candidate >= the k-th best similarity: boundary ties
+        # (bit-equal cosines, e.g. exact-duplicate vectors) all survive the
+        # prune, so the downstream merge's deterministic (cosine DESC,
+        # vec_id ASC) tie-break decides — an argpartition cut alone would
+        # drop an arbitrary one of the tied rows and could lose the
+        # lower-vec_id winner irrecoverably
+        thresh = np.partition(sim, sim.shape[1] - kk, axis=1)[:, sim.shape[1] - kk]
+        qi, bi = np.nonzero(sim >= thresh[:, None])
         return pa.table(
             {
-                "query_id": pa.array(rows_q),
-                "vec_id": pa.array(rows_v),
-                "cosine": pa.array(rows_s),
+                "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
+                "vec_id": pa.array(ids[bi]),
+                "cosine": pa.array(sim[qi, bi]),
             }
         )
 
@@ -157,18 +161,28 @@ def make_ivf_assign_kernel(centroids_ref, emb_col: str = "embedding"):
 
 
 def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
-             n_probe: int = 4, emb_col: str = "embedding", id_col: str = "vec_id"):
+             n_probe: int = 4, emb_col: str = "embedding",
+             id_col: str = "vec_id", index_dir: str | None = None):
     """One-shot IVF search: builds a *transient* bucket-partitioned index
     (``ivf_build``) and searches it through the persisted path, so probe
     pruning prunes I/O exactly like the durable index.  For repeated query
     sets, call ``ivf_build`` once and ``ivf_topk_partitioned`` per query set
     — this convenience re-pays the build on every call, but its *plan* is
     the scale plan (the old implementation re-scanned and re-assigned the
-    full dataset per query set, which was an attractive-nuisance API)."""
+    full dataset per query set, which was an attractive-nuisance API).
+
+    ``index_dir`` must be visible to BOTH the write workers and the driver:
+    the default local tempdir is correct only single-node (on a multi-node
+    cluster, workers would write to their own node's /tmp and the driver's
+    bucket-dir probe would silently see a subset) — pass a shared
+    filesystem / object-store path there, exactly as you would for
+    ``ivf_build``."""
     import shutil
     import tempfile
 
-    index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_tmp_")
+    transient = index_dir is None
+    if transient:
+        index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_tmp_")
     try:
         ivf_build(ds, np.asarray(centroids, dtype=np.float64), index_dir, emb_col)
         top, _ = ivf_topk_partitioned(
@@ -176,7 +190,8 @@ def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
             emb_col, id_col,
         )
     finally:
-        shutil.rmtree(index_dir, ignore_errors=True)
+        if transient:
+            shutil.rmtree(index_dir, ignore_errors=True)
     return top
 
 

@@ -395,10 +395,11 @@ def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
     The bucketized rows are consumed twice (count aggregate + expand
     stage).  With ``checkpoint_dir`` set they are checkpointed to parquet
     once and both consumers read the checkpoint — the 100 TB path (caller
-    owns cleanup).  Without it, the deterministic LSH assign simply
-    recomputes on the second pass: cheap vectorized work, and it avoids
-    pinning the full bucketized dataset in the object store the way a
-    ``materialize()`` would."""
+    owns cleanup).  Without it, the ENTIRE upstream lineage of ``ds``
+    (source scan + any prior transforms, not just the LSH assign) executes
+    twice; that avoids pinning the full bucketized dataset in the object
+    store the way a ``materialize()`` would, but callers whose upstream is
+    expensive should pass ``checkpoint_dir``."""
     import ray
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -534,6 +535,11 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
     checkpoint the state to parquet per round instead (see
     embedding_dedup_pipeline's checkpoint_dir pattern).
 
+    Raises RuntimeError if the label-sum fixpoint is not OBSERVED within
+    ``max_iters`` rounds (observation needs one quiet round, so a graph of
+    diameter exactly ``max_iters`` also raises — conservative: wrong
+    clusters are never returned silently).
+
     Returns a Dataset of (node, cluster) where cluster is the smallest
     node id in the component.
     """
@@ -574,6 +580,7 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
         )
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         state = (
             state.groupby("node").map_groups(scatter_min, batch_format="pyarrow")
@@ -582,8 +589,16 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
         )
         s = state.sum("label")
         if s == prev_sum:  # labels only decrease: equal sum == fixpoint
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # never return silently-fractured components: a chain of diameter
+        # > max_iters would leave non-minimal labels with no indication
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters="
+            f"{max_iters} rounds (graph diameter exceeds it); raise max_iters"
+        )
     out = state.groupby("node").min("label")
     return out.map_batches(
         lambda b: pa.table(

@@ -468,7 +468,8 @@ def _lookup_in_disks(origins: np.ndarray, targets: np.ndarray, k: int):
     return out
 
 
-def grid_distance(a: np.ndarray, b: np.ndarray, max_k: int = 8):
+def grid_distance(a: np.ndarray, b: np.ndarray, max_k: int = 8,
+                  _unfold=None):
     """Exact-or-flagged grid distance between cell pairs.
 
     Same-HEXAGON-base pairs go through the local-IJ unfold (a true
@@ -493,7 +494,10 @@ def grid_distance(a: np.ndarray, b: np.ndarray, max_k: int = 8):
     d = np.zeros(len(a), dtype=np.int64)
     ok = np.zeros(len(a), dtype=bool)
     if same.any():
-        du, oku = _unfold_distance(a[same], b[same])
+        if _unfold is not None:  # caller-precomputed full-input unfold
+            du, oku = _unfold[0][same], _unfold[1][same]
+        else:
+            du, oku = _unfold_distance(a[same], b[same])
         d[same] = du
         ok[same] = oku
     cross = ~same & (bits.get_resolution(a) == bits.get_resolution(b))
@@ -520,11 +524,18 @@ def grid_path_cells(a: np.ndarray, b: np.ndarray, max_k: int = 8):
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     n = len(a)
-    dist, ok = grid_distance(a, b, max_k)
-    un, oku = _unfold_distance(a, b)
-    ok = ok & oku & (un == dist)
-    ia, ja, _ = cells_to_localij(a, a)
+    # ONE pair of localij unfolds serves the whole function: the lerp
+    # frame, its hex norm (the gate), and grid_distance's same-base fast
+    # path (passed through _unfold) all come from these frames
+    ia, ja, oka = cells_to_localij(a, a)
     ib, jb, okb = cells_to_localij(b, a)
+    di = ib.astype(np.int64) - ia.astype(np.int64)
+    dj = jb.astype(np.int64) - ja.astype(np.int64)
+    coord = ijk.normalize(np.stack([di, dj, np.zeros_like(di)], axis=1))
+    un = np.abs(coord).max(axis=1)
+    oku = oka & okb
+    dist, ok = grid_distance(a, b, max_k, _unfold=(un, oku))
+    ok = ok & oku & (un == dist)
     steps = np.where(ok, dist, 0).astype(np.int64)
     counts = steps + 1
     total = int(counts.sum())

@@ -588,7 +588,7 @@ def _convex_hull_points(pts: np.ndarray) -> np.ndarray:
     before the O(h) chain loop, so the Python loop runs over survivors
     only.  Returns hull vertices in counter-clockwise order (geo's
     convex_hull orientation), closed (first == last)."""
-    pts = np.unique(pts[np.lexsort((pts[:, 1], pts[:, 0]))], axis=0)
+    pts = np.unique(pts, axis=0)  # row-sorts lexicographically AND dedups
     if len(pts) <= 2:
         return np.vstack([pts, pts[:1]])
     # Akl-Toussaint: drop points strictly inside the extreme quadrilateral
@@ -628,8 +628,11 @@ def _convex_hull_points(pts: np.ndarray) -> np.ndarray:
 def cells_convex_hull(cells: np.ndarray) -> bytes:
     """Convex hull polygon (WKB) of the cell set's boundary vertices — the
     reference's multipolygon convex hull (convex_hull.rs:9-16).  Planar
-    lng/lat, like the rest of the planar geometry family."""
+    lng/lat, like the rest of the planar geometry family.  Invalid cell
+    ids are dropped (consistent with cells_centroid) — one sentinel id
+    must not poison the hull with garbage vertices."""
     cells = np.asarray(cells, dtype=np.uint64)
+    cells = cells[bits.is_valid_cell(cells)]
     lat, lng, _ = boundary.cell_boundary(cells)
     hull = _convex_hull_points(np.stack([lng, lat], axis=1))
     return wkb.dumps_multipolygon([[hull]])
@@ -643,15 +646,25 @@ def cells_concave_hull(cells: np.ndarray, concavity: float = 2.0) -> bytes:
     operator family as the reference's geo::ConcaveHull
     (concave_hull.rs:9-16), not vertex-identical to the geo crate's
     algorithm — the reference never exposes it to Python, so there is no
-    binding-level contract to match)."""
+    binding-level contract to match).  The point spacing is the median
+    CELL boundary edge length, so smaller ``concavity`` digs deeper
+    (splits more edges) and a large one degenerates to the convex hull.
+    Invalid cell ids are dropped (consistent with cells_centroid)."""
     cells = np.asarray(cells, dtype=np.uint64)
-    lat, lng, _ = boundary.cell_boundary(cells)
+    cells = cells[bits.is_valid_cell(cells)]
+    lat, lng, off = boundary.cell_boundary(cells)
     pts = np.unique(np.stack([lng, lat], axis=1), axis=0)
     hull = _convex_hull_points(pts)[:-1]
     if len(hull) < 3 or len(pts) <= len(hull):
         return wkb.dumps_multipolygon([[np.vstack([hull, hull[:1]])]])
-    edge_len = np.linalg.norm(np.diff(np.vstack([hull, hull[:1]]), axis=0), axis=1)
-    spacing = np.median(edge_len) / max(1.0, concavity)
+    # local point spacing = median cell boundary edge length (consecutive
+    # boundary vertices within each cell ring)
+    ring_id = np.repeat(np.arange(len(cells)), np.diff(off))
+    nxt = np.arange(len(lat)) + 1
+    at_end = nxt >= off[1:][ring_id]
+    nxt = np.where(at_end, off[:-1][ring_id], nxt)
+    seg = np.stack([lng[nxt] - lng, lat[nxt] - lat], axis=1)
+    spacing = float(np.median(np.linalg.norm(seg, axis=1)))
     ring = [tuple(p) for p in hull]
     for _ in range(8):  # bounded refinement passes
         changed = False
@@ -699,6 +712,7 @@ def convex_hull_dataset(ds, cell_col: str = "cell") -> bytes:
         cells = np.unique(
             batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         )
+        cells = cells[bits.is_valid_cell(cells)]
         lat, lng, _ = boundary.cell_boundary(cells)
         hull = _convex_hull_points(np.stack([lng, lat], axis=1))[:-1]
         return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})

@@ -249,14 +249,18 @@ def test_centroid_convex_concave_hull(ray_session):
     clat, clng = H3Dataset(ds).centroid()
     ref = vector.cells_centroid(cells)
     assert abs(clat - ref[0]) < 1e-9 and abs(clng - ref[1]) < 1e-9
-    # concave hull: no larger area than convex, at least as many vertices
-    conc = np.array(
-        wkb.loads(vector.cells_concave_hull(cells, 2.0))["parts"][0]["rings"][0]
-    )
-    assert len(conc) >= len(hull)
-    assert abs(vector._ring_signed_area(conc)) <= abs(
-        vector._ring_signed_area(hull)
-    ) + 1e-12
+    # concave hull: concavity is a real knob — smaller digs deeper toward
+    # the true (L-shaped, ~58 sq deg) region; huge degenerates to convex
+    areas = {
+        c: abs(vector._ring_signed_area(np.array(
+            wkb.loads(vector.cells_concave_hull(cells, c))["parts"][0]["rings"][0]
+        )))
+        for c in (1.0, 8.0, 1000.0)
+    }
+    convex_area = abs(vector._ring_signed_area(hull))
+    assert areas[1.0] < areas[8.0] < convex_area
+    assert areas[1000.0] == convex_area
+    assert abs(areas[1.0] - 58.0) < 3.0  # recovers the true L-region area
 
 
 def test_connected_components_chain(ray_session):
