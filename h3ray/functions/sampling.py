@@ -1,0 +1,107 @@
+"""Deterministic sampling + document chunking for training-data pipelines.
+
+Both operators are pure per-row functions of key columns, so they shard
+identically at any cluster size / block layout (the resumability contract),
+and both are intentionally SQL-expressible so the driver can value-oracle
+them end to end:
+
+  * ``hash_sample``: multiplicative (Knuth) hashing — keep rows where
+    ``(key * 2654435761) mod 2^32 < rate * 2^32``.  Optional per-stratum
+    rates (data-mixing weights) via a small broadcast dict.
+  * ``chunk_documents``: fixed-size overlapping character windows (the
+    standard LLM pre-tokenization chunking), vectorized over the batch's
+    flat UTF-8 buffer with a codepoint->byte map, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._strkern import utf8_from_segments, utf8_view
+
+_KNUTH = np.uint64(2654435761)
+_MOD32 = np.uint64(1) << np.uint64(32)
+
+
+def hash_sample(batch: pa.Table, rate, key_col: str = "doc_id",
+                stratum_col: str | None = None,
+                default_rate: float = 0.0) -> pa.Table:
+    """Deterministic hash sampling: row kept iff
+    ``(key * 2654435761) % 2^32 < floor(rate * 2^32)``.
+
+    ``rate`` is a float, or a dict {stratum value -> rate} applied through
+    ``stratum_col`` (strata absent from the dict use ``default_rate``) —
+    the per-source mixing-weight pattern; ship the dict via the map_batches
+    closure (it is tiny and broadcast once per worker with the function).
+    """
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (keys * _KNUTH) % _MOD32
+    if isinstance(rate, dict):
+        if stratum_col is None:
+            raise ValueError("dict rate requires stratum_col")
+        strata = batch.column(stratum_col).to_numpy(zero_copy_only=False)
+        thresh = np.full(len(batch), np.uint64(int(default_rate * (1 << 32))),
+                         dtype=np.uint64)
+        for val, r in rate.items():
+            thresh[strata == val] = np.uint64(int(r * (1 << 32)))
+    else:
+        thresh = np.uint64(int(float(rate) * (1 << 32)))
+    return batch.filter(pa.array(h < thresh))
+
+
+def chunk_documents(batch: pa.Table, size: int = 200, overlap: int = 20,
+                    text_col: str = "text", doc_col: str = "doc_id") -> pa.Table:
+    """Explode documents into fixed-size overlapping character chunks:
+    chunk i covers characters [i*stride, i*stride + size) with
+    stride = size - overlap; every document yields at least one chunk
+    (n = 1 for len <= size, else 1 + ceil((len - size) / stride)).
+
+    Vectorized: chunk counts and char spans computed batch-wide, the
+    char->byte map is the non-continuation-byte position trick (one pass
+    over the flat UTF-8 buffer), and all chunk texts are gathered with one
+    jagged segment copy — no per-row Python.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    text = batch.column(text_col)
+    data, off = utf8_view(text)
+    charlens = pc.utf8_length(pc.fill_null(text, "")).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n = len(batch)
+    n_chunks = np.where(
+        charlens <= size, 1, 1 + (charlens - size + stride - 1) // stride
+    ).astype(np.int64)
+    total = int(n_chunks.sum())
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), n_chunks)
+    chunk_id = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_chunks) - n_chunks, n_chunks
+    )
+    c0 = chunk_id * stride
+    c1 = np.minimum(c0 + size, charlens[doc_of])
+    # char -> byte positions (identity for pure-ASCII batches)
+    bytelens = np.diff(off)
+    if (bytelens == charlens).all():
+        b0 = off[:-1][doc_of] + c0
+        b1 = off[:-1][doc_of] + c1
+    else:
+        P = np.flatnonzero((data & 0xC0) != 0x80)
+        char_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(charlens, out=char_off[1:])
+        g0 = char_off[:-1][doc_of] + c0
+        g1 = char_off[:-1][doc_of] + c1
+        b0 = np.where(g0 < len(P), P[np.minimum(g0, max(len(P) - 1, 0))], off[-1])
+        b1 = np.where(g1 < len(P), P[np.minimum(g1, max(len(P) - 1, 0))], off[1:][doc_of])
+        b1 = np.where(c1 >= charlens[doc_of], off[1:][doc_of], b1)
+    chunks = utf8_from_segments(data, b0, b1)
+    return pa.table(
+        {
+            doc_col: batch.column(doc_col).take(pa.array(doc_of)),
+            "chunk_id": pa.array(chunk_id),
+            "chunk_text": chunks,
+        }
+    )

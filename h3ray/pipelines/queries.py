@@ -560,6 +560,44 @@ def q_minhash_pairs(sf_dir: str):
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
+def q_doc_chunks(sf_dir: str):
+    """Value-oracled document chunking (the standard LLM pre-tokenization
+    window split): fixed 200-char chunks with 20-char overlap, exploded
+    per doc; the SQL twin reproduces every chunk's TEXT with substr over a
+    generate-range of the same chunk-count formula — a full content-level
+    oracle of the jagged slicing kernel."""
+    from ..functions import sampling
+
+    def k(batch: pa.Table) -> pa.Table:
+        return sampling.chunk_documents(batch, size=200, overlap=20)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_sample(sf_dir: str):
+    """Value-oracled deterministic stratified sampling (data-mixing
+    weights): multiplicative-hash keep-rule with per-source rates (0.5 for
+    src0-src9, 0.2 otherwise) — the SQL twin computes the identical
+    32-bit Knuth hash arithmetic, so the sampled id set matches exactly
+    and is invariant to partitioning / cluster size."""
+    from ..functions import sampling
+
+    rates = {f"src{i}": 0.5 for i in range(10)}
+
+    def k(batch: pa.Table) -> pa.Table:
+        out = sampling.hash_sample(
+            batch, rates, key_col="doc_id", stratum_col="source",
+            default_rate=0.2,
+        )
+        return out.select(["doc_id", "source"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Value-oracled near-dup clustering — the step AFTER pair generation
     in a production dedup pipeline: exact-tier LSH pairs over the
@@ -1022,6 +1060,8 @@ def q_localij_offsets(sf_dir: str):
 QUERIES.update(
     {
         "text_quality": q_text_quality,
+        "doc_chunks": q_doc_chunks,
+        "doc_sample": q_doc_sample,
         "dedup_clusters": q_dedup_clusters,
         "lang_quality": q_lang_quality,
         "lang_id": q_lang_id,
@@ -1705,6 +1745,28 @@ ORACLE_SQL.update(
                    CAST(4 * (COUNT(*) OVER (PARTITION BY text) - 1) AS BIGINT)
                        AS n_exact_band_mates
             FROM docs2
+        """,
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+            c AS (
+              SELECT doc_id, text, L,
+                     unnest(range(CASE WHEN L <= 200 THEN 1
+                                  ELSE 1 + (L - 200 + 179) // 180 END))
+                         AS chunk_id
+              FROM d
+            )
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   substr(text, CAST(chunk_id * 180 + 1 AS BIGINT),
+                          CAST(LEAST(200, L - chunk_id * 180) AS BIGINT))
+                       AS chunk_text
+            FROM c
+        """,
+        "doc_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CASE WHEN length(source) = 4
+                       THEN CAST(floor(0.5 * 4294967296) AS BIGINT)
+                       ELSE CAST(floor(0.2 * 4294967296) AS BIGINT) END
         """,
         "dedup_clusters": _PLANTED_SQL + """
             SELECT doc_id AS node,

@@ -215,6 +215,44 @@ def test_text_kernels():
     assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
 
 
+def test_chunking_and_sampling():
+    """chunk_documents reassembles losslessly (strip each chunk's leading
+    overlap, concatenate == original, unicode included) and hash_sample is
+    a deterministic partition-invariant keep-rule with per-stratum rates."""
+    from h3ray.functions import sampling
+
+    texts = ["a" * 48, "b" * 200, "c" * 201, "xyz" * 200, "日本語テキスト" * 60, ""]
+    b = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = sampling.chunk_documents(b, size=200, overlap=20)
+    df = out.to_pandas()
+    for i, t in enumerate(texts):
+        chunks = df[df.doc_id == i].sort_values("chunk_id")["chunk_text"].tolist()
+        rebuilt = chunks[0] + "".join(c[20:] for c in chunks[1:])
+        assert rebuilt == t, i
+        stride = 180
+        exp = 1 if len(t) <= 200 else 1 + -(-(len(t) - 200) // stride)
+        assert len(chunks) == exp, i
+    # sampling: deterministic, stratified, partition-invariant
+    n = 10000
+    t = pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+         "source": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b"))}
+    )
+    kept = sampling.hash_sample(t, {"a": 0.5, "b": 0.1}, "doc_id", "source")
+    kept2a = sampling.hash_sample(t.slice(0, 5000), {"a": 0.5, "b": 0.1}, "doc_id", "source")
+    kept2b = sampling.hash_sample(t.slice(5000), {"a": 0.5, "b": 0.1}, "doc_id", "source")
+    assert sorted(kept.column("doc_id").to_pylist()) == sorted(
+        kept2a.column("doc_id").to_pylist() + kept2b.column("doc_id").to_pylist()
+    )
+    d = kept.to_pandas()
+    ra = (d.source == "a").sum() / (n / 2)
+    rb = (d.source == "b").sum() / (n / 2)
+    assert abs(ra - 0.5) < 0.05 and abs(rb - 0.1) < 0.03
+
+
 def test_centroid_convex_concave_hull(ray_session):
     """Reference Rust-only algorithms (centroid.rs / convex_hull.rs /
     concave_hull.rs): single-cell hull is the cell's own hexagon, hulls
