@@ -105,3 +105,85 @@ def chunk_documents(batch: pa.Table, size: int = 200, overlap: int = 20,
             "chunk_text": chunks,
         }
     )
+
+
+def pack_sequence_spans(ds, seq_len: int = 512, doc_col: str = "doc_id",
+                        text_col: str = "text", bucket_size: int = 4096):
+    """Sequence packing (concat-and-cut): documents are laid out in
+    ``doc_col`` order into one virtual character stream (one separator
+    char between docs) that is cut into fixed ``seq_len`` training
+    windows; each document's span of windows is returned as
+    (doc_id, start_seq, end_seq, n_seqs).
+
+    The global document offset is a DISTRIBUTED PREFIX SUM (scan):
+      pass 1 — per-block partial sums keyed by ``doc_id // bucket_size``
+      -> tiny groupby -> driver computes the exclusive per-bucket base
+      offsets (one row per bucket: choose bucket_size so bucket count
+      stays driver-small, e.g. <= 1e6 rows even at 10^12 docs) and
+      broadcasts them via ray.put;
+      pass 2 — docs shuffle by bucket; each bucket group sorts by doc_id
+      and adds its local exclusive cumsum to the broadcast base.
+    Both passes stream; nothing large ever sits on the driver.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(
+            pc.fill_null(batch.column(text_col), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64) + 1  # + separator
+        b = ids // bucket_size
+        u, inv = np.unique(b, return_inverse=True)
+        s = np.bincount(inv, weights=lens.astype(np.float64)).astype(np.int64)
+        return pa.table({"bucket": pa.array(u), "s": pa.array(s)})
+
+    sums = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").sum("s").take_all()
+    )
+    sums.sort(key=lambda r: r["bucket"])
+    base = {}
+    acc = 0
+    for r in sums:
+        base[int(r["bucket"])] = acc
+        acc += int(r["sum(s)"])
+    base_ref = ray.put(base)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = pc.utf8_length(
+            pc.fill_null(batch.column(text_col), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // bucket_size),
+                doc_col: pa.array(ids),
+                "len": pa.array(lens),
+            }
+        )
+
+    def spans(batch: pa.Table) -> pa.Table:
+        b = ray.get(base_ref) if isinstance(base_ref, ray.ObjectRef) else base_ref
+        bucket = int(batch.column("bucket")[0].as_py())
+        ids = batch.column(doc_col).to_numpy(zero_copy_only=False)
+        lens = batch.column("len").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids, lens = ids[order], lens[order]
+        sep = lens + 1
+        off = b[bucket] + np.cumsum(sep) - sep
+        start = off // seq_len
+        end = (off + np.maximum(lens, 1) - 1) // seq_len
+        return pa.table(
+            {
+                doc_col: pa.array(ids),
+                "start_seq": pa.array(start),
+                "end_seq": pa.array(end),
+                "n_seqs": pa.array(end - start + 1),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(spans, batch_format="pyarrow")
+    )

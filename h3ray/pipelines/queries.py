@@ -598,6 +598,21 @@ def q_doc_sample(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_seq_pack(sf_dir: str):
+    """Value-oracled sequence packing via a DISTRIBUTED PREFIX SUM: docs
+    concatenated in doc_id order (one separator char apart) and cut into
+    512-char training windows; each doc's (start_seq, end_seq, n_seqs)
+    span depends on the exact global offset — bucket partial sums, a tiny
+    driver scan of bucket bases, then per-bucket local cumsums.  The SQL
+    twin is the straight window-function prefix sum."""
+    from ..functions import sampling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return sampling.pack_sequence_spans(ds, seq_len=512, bucket_size=100)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Value-oracled near-dup clustering — the step AFTER pair generation
     in a production dedup pipeline: exact-tier LSH pairs over the
@@ -1062,6 +1077,7 @@ QUERIES.update(
         "text_quality": q_text_quality,
         "doc_chunks": q_doc_chunks,
         "doc_sample": q_doc_sample,
+        "seq_pack": q_seq_pack,
         "dedup_clusters": q_dedup_clusters,
         "lang_quality": q_lang_quality,
         "lang_id": q_lang_id,
@@ -1767,6 +1783,20 @@ ORACLE_SQL.update(
                   CASE WHEN length(source) = 4
                        THEN CAST(floor(0.5 * 4294967296) AS BIGINT)
                        ELSE CAST(floor(0.2 * 4294967296) AS BIGINT) END
+        """,
+        "seq_pack": """
+            WITH w AS (
+              SELECT doc_id, length(text) AS len,
+                     COALESCE(SUM(length(text) + 1) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS o
+              FROM documents
+            )
+            SELECT doc_id, CAST(o // 512 AS BIGINT) AS start_seq,
+                   CAST((o + GREATEST(len, 1) - 1) // 512 AS BIGINT) AS end_seq,
+                   CAST((o + GREATEST(len, 1) - 1) // 512 - o // 512 + 1
+                        AS BIGINT) AS n_seqs
+            FROM w
         """,
         "dedup_clusters": _PLANTED_SQL + """
             SELECT doc_id AS node,

@@ -253,6 +253,40 @@ def test_chunking_and_sampling():
     assert abs(ra - 0.5) < 0.05 and abs(rb - 0.1) < 0.03
 
 
+def test_sequence_packing_prefix_sum(ray_session):
+    """pack_sequence_spans' distributed prefix sum is exact and
+    partition-invariant: spans are contiguous across doc order (the next
+    doc starts in the same or the next window) and identical under
+    different block layouts."""
+    import ray
+
+    from h3ray.functions import sampling
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    texts = ["x" * int(k) for k in rng.integers(1, 900, n)]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    out = {}
+    for parts in (3, 11):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        df = sampling.pack_sequence_spans(ds, seq_len=256, bucket_size=64) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        out[parts] = df
+    assert out[3].equals(out[11])
+    df = out[3]
+    assert df.loc[0, "start_seq"] == 0
+    assert (df["n_seqs"] == df["end_seq"] - df["start_seq"] + 1).all()
+    nxt = df["start_seq"].to_numpy()[1:]
+    prev_end = df["end_seq"].to_numpy()[:-1]
+    assert ((nxt == prev_end) | (nxt == prev_end + 1)).all()
+    # exactness against a local single-process reference
+    lens = np.array([len(s) for s in texts], dtype=np.int64)
+    off = np.cumsum(lens + 1) - (lens + 1)
+    assert (df["start_seq"].to_numpy() == off // 256).all()
+    assert (df["end_seq"].to_numpy() == (off + lens - 1) // 256).all()
+
+
 def test_centroid_convex_concave_hull(ray_session):
     """Reference Rust-only algorithms (centroid.rs / convex_hull.rs /
     concave_hull.rs): single-cell hull is the cell's own hexagon, hulls
