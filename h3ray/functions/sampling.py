@@ -187,3 +187,80 @@ def pack_sequence_spans(ds, seq_len: int = 512, doc_col: str = "doc_id",
         .groupby("bucket")
         .map_groups(spans, batch_format="pyarrow")
     )
+
+
+# --- HyperLogLog cardinality sketch ------------------------------------------
+
+_HLL_P = 12  # 4096 registers, ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def hll_partial(batch: pa.Table, col: str = "cell") -> pa.Table:
+    """Per-batch HyperLogLog registers over a uint64 key column: one row of
+    4096 uint8 registers (a fixed-size sketch — the mergeable partial for
+    streaming COUNT DISTINCT at any scale).  Hash is a splitmix-style
+    multiplicative mix (deterministic across runs/cluster sizes)."""
+    keys = batch.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = keys * np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(32)
+    reg_idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = h << np.uint64(_HLL_P)
+    # rank = leading zeros of the remaining 64-p bits + 1 (capped)
+    nz = rest != 0
+    lz = np.full(len(h), 64 - _HLL_P, dtype=np.int64)
+    if nz.any():
+        # exact bit_length: 64-bit values round in float64 (a value just
+        # under 2^j can round UP and shift the exponent), so compute it on
+        # the 32-bit halves, which float64 represents exactly
+        r = rest[nz]
+        hi = (r >> np.uint64(32)).astype(np.float64)
+        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        bl_hi = np.frexp(hi)[1]
+        bl_lo = np.frexp(lo)[1]
+        bits_len = np.where(hi > 0, 32 + bl_hi, bl_lo)
+        lz[nz] = 64 - bits_len
+    rank = np.minimum(lz + 1, 64 - _HLL_P + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, reg_idx, rank)
+    return pa.table(
+        {"regs": pa.FixedSizeListArray.from_arrays(pa.array(regs), _HLL_M)}
+    )
+
+
+def hll_merge_estimate(partials: pa.Table) -> float:
+    """Merge partial register rows (elementwise max — associative and
+    commutative, so any tree/stream merge order is exact) and return the
+    HLL cardinality estimate with the standard linear-counting
+    small-range correction."""
+    flat = partials.column("regs").combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    regs = flat.reshape(-1, _HLL_M).max(axis=0)
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def hll_count_distinct(ds, col: str = "cell") -> float:
+    """Streaming distinct-count over a Dataset column: fixed-size partial
+    sketches per block, one bounded merge — no shuffle of the keys at all
+    (the groupby-based exact count moves every distinct key; this moves
+    4 KiB per block)."""
+    import ray
+
+    parts = ds.map_batches(
+        lambda b: hll_partial(b, col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = parts.repartition(1).map_batches(
+        lambda b: pa.table({"est": pa.array([hll_merge_estimate(b)])}),
+        batch_format="pyarrow", batch_size=None,
+    ).take(1)
+    return float(merged[0]["est"])

@@ -598,6 +598,31 @@ def q_doc_sample(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cell_cardinality(sf_dir: str):
+    """Value-oracled streaming COUNT DISTINCT: the exact count comes from
+    the groupby shuffle; the HyperLogLog sketch (fixed 4 KiB partial per
+    block, elementwise-max merge, NO key shuffle) must agree within 5% —
+    the 100 TB plan for cardinality probes (e.g. sizing a dedup shuffle
+    before running it).  SQL reproduces the exact count via
+    COUNT(DISTINCT _CELL_SQL) and the sketch-accuracy flag as TRUE."""
+    from ..functions import sampling
+
+    def k(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({"cell": pa.array(_construct_cells(eid))})
+
+    ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    exact = ds.groupby("cell").count().count()
+    est = sampling.hll_count_distinct(ds, "cell")
+    ok = abs(est - exact) / max(exact, 1) <= 0.05
+    return pa.table(
+        {
+            "n_distinct": pa.array([int(exact)], type=pa.int64()),
+            "hll_within_5pct": pa.array([bool(ok)]),
+        }
+    )
+
+
 def q_seq_pack(sf_dir: str):
     """Value-oracled sequence packing via a DISTRIBUTED PREFIX SUM: docs
     concatenated in doc_id order (one separator char apart) and cut into
@@ -1078,6 +1103,7 @@ QUERIES.update(
         "doc_chunks": q_doc_chunks,
         "doc_sample": q_doc_sample,
         "seq_pack": q_seq_pack,
+        "cell_cardinality": q_cell_cardinality,
         "dedup_clusters": q_dedup_clusters,
         "lang_quality": q_lang_quality,
         "lang_id": q_lang_id,
@@ -1135,6 +1161,11 @@ ORACLE_SQL.update(
     {
         "grid_disk_aggregate_k": f"""
             SELECT DISTINCT {_CELL_SQL} AS cell, CAST(0 AS BIGINT) AS k
+            FROM events
+        """,
+        "cell_cardinality": f"""
+            SELECT CAST(COUNT(DISTINCT {_CELL_SQL}) AS BIGINT) AS n_distinct,
+                   TRUE AS hll_within_5pct
             FROM events
         """,
     }

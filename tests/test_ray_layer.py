@@ -253,6 +253,24 @@ def test_chunking_and_sampling():
     assert abs(ra - 0.5) < 0.05 and abs(rb - 0.1) < 0.03
 
 
+def test_hll_count_distinct(ray_session):
+    """HyperLogLog sketch: merge is order/partition-invariant (elementwise
+    max) and the estimate lands within ~2% at three cardinality scales,
+    including the small-range linear-counting regime."""
+    import ray
+
+    from h3ray.functions import sampling
+
+    for n, tol in ((70, 0.05), (5_000, 0.05), (200_000, 0.03)):
+        keys = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) | np.uint64(1)
+        dup = np.concatenate([keys, keys[: n // 2]])  # duplicates must not count
+        t = pa.table({"cell": pa.array(dup)})
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            est = sampling.hll_count_distinct(ds, "cell")
+            assert abs(est - n) / n < tol, (n, parts, est)
+
+
 def test_sequence_packing_prefix_sum(ray_session):
     """pack_sequence_spans' distributed prefix sum is exact and
     partition-invariant: spans are contiguous across doc order (the next
