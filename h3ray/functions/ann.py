@@ -43,15 +43,19 @@ def make_bruteforce_topk_kernel(queries_ref, k: int = 10,
         x = _normalize(_to_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sim = qmat @ x.T  # (Q, B)
-        kk = min(k, sim.shape[1])
-        # keep EVERY candidate >= the k-th best similarity: boundary ties
-        # (bit-equal cosines, e.g. exact-duplicate vectors) all survive the
-        # prune, so the downstream merge's deterministic (cosine DESC,
-        # vec_id ASC) tie-break decides — an argpartition cut alone would
-        # drop an arbitrary one of the tied rows and could lose the
-        # lower-vec_id winner irrecoverably
-        thresh = np.partition(sim, sim.shape[1] - kk, axis=1)[:, sim.shape[1] - kk]
-        qi, bi = np.nonzero(sim >= thresh[:, None])
+        Q, B = sim.shape
+        kk = min(k, B)
+        # block-local EXACT top-k under the same total order the global
+        # merge uses — (cosine DESC, vec_id ASC) — so boundary ties
+        # (bit-equal cosines, e.g. exact-duplicate vectors) keep the
+        # deterministic lower-vec_id winner, output stays bounded at Q*kk
+        # even for degenerate all-equal blocks, and NaN similarities sort
+        # last (never displacing real candidates)
+        order = np.lexsort(
+            (np.tile(ids, Q), -sim.ravel(), np.repeat(np.arange(Q), B))
+        ).reshape(Q, B)[:, :kk]
+        bi = (order % B).reshape(-1)
+        qi = np.repeat(np.arange(Q), kk)
         return pa.table(
             {
                 "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
@@ -180,9 +184,20 @@ def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
     import shutil
     import tempfile
 
+    import os
+
     transient = index_dir is None
     if transient:
         index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_tmp_")
+    elif os.path.isdir(index_dir) and os.listdir(index_dir):
+        # a reused dir would accumulate stale bucket files beside the new
+        # build and the glob would read every vector twice (or vectors
+        # from a prior dataset) — refuse rather than silently corrupt
+        raise ValueError(
+            f"index_dir {index_dir!r} is not empty; ivf_topk builds a fresh "
+            "transient index there — use ivf_build + ivf_topk_partitioned "
+            "to persist and reuse an index"
+        )
     try:
         ivf_build(ds, np.asarray(centroids, dtype=np.float64), index_dir, emb_col)
         top, _ = ivf_topk_partitioned(

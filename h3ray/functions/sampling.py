@@ -235,6 +235,8 @@ def hll_merge_estimate(partials: pa.Table) -> float:
     commutative, so any tree/stream merge order is exact) and return the
     HLL cardinality estimate with the standard linear-counting
     small-range correction."""
+    if partials.num_rows == 0:
+        return 0.0
     flat = partials.column("regs").combine_chunks().flatten().to_numpy(
         zero_copy_only=False
     )
@@ -263,4 +265,6 @@ def hll_count_distinct(ds, col: str = "cell") -> float:
         lambda b: pa.table({"est": pa.array([hll_merge_estimate(b)])}),
         batch_format="pyarrow", batch_size=None,
     ).take(1)
+    if not merged:  # empty dataset -> zero distinct values
+        return 0.0
     return float(merged[0]["est"])

@@ -428,18 +428,27 @@ def _pent_inverse(anchors, coord, res_arr):
     return out, found
 
 
+def _unfold_frames(a: np.ndarray, b: np.ndarray):
+    """Local-IJ frames of (a, b) in a's system plus the hex norm of the
+    unfold — the ONE place that computes both, shared by grid_distance's
+    fast path and grid_path_cells' lerp so the gate and the certification
+    can never desynchronize.  Returns (norm, ok, ia, ja, ib, jb)."""
+    ia, ja, oka = cells_to_localij(a, a)
+    ib, jb, okb = cells_to_localij(b, a)
+    di = ib.astype(np.int64) - ia.astype(np.int64)
+    dj = jb.astype(np.int64) - ja.astype(np.int64)
+    coord = ijk.normalize(np.stack([di, dj, np.zeros_like(di)], axis=1))
+    return np.abs(coord).max(axis=1), oka & okb, ia, ja, ib, jb
+
+
 def _unfold_distance(a: np.ndarray, b: np.ndarray):
     """Hex norm of b unfolded into a's local IJ frame (the raw H3
     gridDistance construction).  Exact for same-base pairs; across base
     seams the icosahedron bends the lattice, so the norm can over- OR
     under-state the true distance (measured up to +-7 at k=6 even on
     pentagon-free seams) — callers must certify cross-base results."""
-    ia, ja, oka = cells_to_localij(a, a)
-    ib, jb, okb = cells_to_localij(b, a)
-    di = ib.astype(np.int64) - ia.astype(np.int64)
-    dj = jb.astype(np.int64) - ja.astype(np.int64)
-    coord = ijk.normalize(np.stack([di, dj, np.zeros_like(di)], axis=1))
-    return np.abs(coord).max(axis=1), oka & okb
+    un, ok, *_ = _unfold_frames(a, b)
+    return un, ok
 
 
 def _lookup_in_disks(origins: np.ndarray, targets: np.ndarray, k: int):
@@ -526,14 +535,8 @@ def grid_path_cells(a: np.ndarray, b: np.ndarray, max_k: int = 8):
     n = len(a)
     # ONE pair of localij unfolds serves the whole function: the lerp
     # frame, its hex norm (the gate), and grid_distance's same-base fast
-    # path (passed through _unfold) all come from these frames
-    ia, ja, oka = cells_to_localij(a, a)
-    ib, jb, okb = cells_to_localij(b, a)
-    di = ib.astype(np.int64) - ia.astype(np.int64)
-    dj = jb.astype(np.int64) - ja.astype(np.int64)
-    coord = ijk.normalize(np.stack([di, dj, np.zeros_like(di)], axis=1))
-    un = np.abs(coord).max(axis=1)
-    oku = oka & okb
+    # path (passed through _unfold) all come from these shared frames
+    un, oku, ia, ja, ib, jb = _unfold_frames(a, b)
     dist, ok = grid_distance(a, b, max_k, _unfold=(un, oku))
     ok = ok & oku & (un == dist)
     steps = np.where(ok, dist, 0).astype(np.int64)

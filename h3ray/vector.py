@@ -625,17 +625,30 @@ def _convex_hull_points(pts: np.ndarray) -> np.ndarray:
     return np.array(ring, dtype=np.float64)
 
 
+def _cells_hull_points(cells: np.ndarray) -> np.ndarray:
+    """Validity-filtered convex hull vertices (open ring, ccw) of a cell
+    set's boundary points — the single point pipeline shared by the local
+    AND distributed hull operators, so the invalid-id policy and the hull
+    construction can never diverge between them."""
+    cells = np.asarray(cells, dtype=np.uint64)
+    cells = cells[bits.is_valid_cell(cells)]
+    if len(cells) == 0:
+        return np.zeros((0, 2), dtype=np.float64)
+    lat, lng, _ = boundary.cell_boundary(cells)
+    return _convex_hull_points(np.stack([lng, lat], axis=1))[:-1]
+
+
 def cells_convex_hull(cells: np.ndarray) -> bytes:
     """Convex hull polygon (WKB) of the cell set's boundary vertices — the
     reference's multipolygon convex hull (convex_hull.rs:9-16).  Planar
     lng/lat, like the rest of the planar geometry family.  Invalid cell
     ids are dropped (consistent with cells_centroid) — one sentinel id
-    must not poison the hull with garbage vertices."""
-    cells = np.asarray(cells, dtype=np.uint64)
-    cells = cells[bits.is_valid_cell(cells)]
-    lat, lng, _ = boundary.cell_boundary(cells)
-    hull = _convex_hull_points(np.stack([lng, lat], axis=1))
-    return wkb.dumps_multipolygon([[hull]])
+    must not poison the hull with garbage vertices.  Empty input yields an
+    empty MultiPolygon."""
+    hull = _cells_hull_points(cells)
+    if len(hull) == 0:
+        return wkb.dumps_multipolygon([])
+    return wkb.dumps_multipolygon([[np.vstack([hull, hull[:1]])]])
 
 
 def cells_concave_hull(cells: np.ndarray, concavity: float = 2.0) -> bytes:
@@ -712,9 +725,7 @@ def convex_hull_dataset(ds, cell_col: str = "cell") -> bytes:
         cells = np.unique(
             batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
         )
-        cells = cells[bits.is_valid_cell(cells)]
-        lat, lng, _ = boundary.cell_boundary(cells)
-        hull = _convex_hull_points(np.stack([lng, lat], axis=1))[:-1]
+        hull = _cells_hull_points(cells)  # shared pipeline with the local op
         return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})
 
     def final(batch: pa.Table) -> pa.Table:
@@ -725,11 +736,11 @@ def convex_hull_dataset(ds, cell_col: str = "cell") -> bytes:
             ],
             axis=1,
         )
-        hull = _convex_hull_points(pts)
-        return pa.table(
-            {"wkb": pa.array([wkb.dumps_multipolygon([[hull]])],
-                             type=pa.large_binary())}
-        )
+        if len(pts) == 0:
+            out = wkb.dumps_multipolygon([])
+        else:
+            out = wkb.dumps_multipolygon([[_convex_hull_points(pts)]])
+        return pa.table({"wkb": pa.array([out], type=pa.large_binary())})
 
     rows = (
         ds.map_batches(block_hull, batch_format="pyarrow", zero_copy_batch=True)
@@ -737,4 +748,6 @@ def convex_hull_dataset(ds, cell_col: str = "cell") -> bytes:
         .map_batches(final, batch_format="pyarrow", batch_size=None)
         .take(1)
     )
+    if not rows:  # empty dataset (no blocks at all)
+        return wkb.dumps_multipolygon([])
     return rows[0]["wkb"]
