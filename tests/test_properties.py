@@ -64,3 +64,78 @@ def test_string_roundtrip(c):
     s = bits.to_hex_strings(cell)
     back, ok = bits.parse_hex_strings(list(s))
     assert ok.all() and back[0] == cell[0]
+
+
+# --- round-3 training-data operators -----------------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.text(max_size=600), min_size=1, max_size=20),
+    st.integers(min_value=2, max_value=64),
+    st.integers(min_value=0, max_value=31),
+)
+def test_chunk_documents_roundtrip_property(texts, size, overlap):
+    """Any unicode corpus: chunks reassemble losslessly (strip each chunk's
+    leading overlap) and the chunk-count formula holds per doc."""
+    import pyarrow as pa
+
+    from h3ray.functions import sampling
+
+    if overlap >= size:
+        overlap = size - 1
+    stride = size - overlap
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts, type=pa.string())}
+    )
+    out = sampling.chunk_documents(t, size=size, overlap=overlap).to_pandas()
+    for i, txt in enumerate(texts):
+        chunks = out[out.doc_id == i].sort_values("chunk_id")["chunk_text"].tolist()
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == txt
+        exp = 1 if len(txt) <= size else 1 + -(-(len(txt) - size) // stride)
+        assert len(chunks) == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=40))
+def test_fnv_blocked_scheme_parity_property(segs):
+    """Below the block cap, the jagged FNV kernel must equal the scalar
+    reference byte-for-byte for arbitrary binary segments."""
+    from h3ray.functions._strkern import FNV_OFFSET, FNV_PRIME, fnv1a_segments
+
+    data = np.frombuffer(b"".join(segs), dtype=np.uint8)
+    off = np.zeros(len(segs) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segs], out=off[1:])
+    got = fnv1a_segments(data, off)
+    for i, s in enumerate(segs):
+        h = np.uint64(FNV_OFFSET)
+        with np.errstate(over="ignore"):
+            for byte in s:
+                h = np.uint64((int(h) ^ byte) * int(FNV_PRIME) % (1 << 64))
+        assert got[i] == h
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+             max_size=200, unique=True),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_hash_sample_rate_property(keys, rate):
+    """hash_sample is a pure per-key predicate: subset-invariant (sampling
+    a subset equals subsetting the sample) and monotone in rate."""
+    import pyarrow as pa
+
+    from h3ray.functions import sampling
+
+    t = pa.table({"doc_id": pa.array(keys, type=pa.int64())})
+    kept = set(sampling.hash_sample(t, rate).column("doc_id").to_pylist())
+    half = pa.table({"doc_id": pa.array(keys[::2], type=pa.int64())})
+    kept_half = set(sampling.hash_sample(half, rate).column("doc_id").to_pylist())
+    assert kept_half == kept & set(keys[::2])
+    kept_less = set(
+        sampling.hash_sample(t, rate / 2).column("doc_id").to_pylist()
+    )
+    assert kept_less <= kept
