@@ -25,12 +25,29 @@ def dataframe_to_cells(
     cell_column_name: str = "cell",
 ) -> pd.DataFrame:
     """WKB-geometry dataframe -> one row per produced cell, all other
-    columns repeated (the reference's geodataframe_to_cells explode)."""
+    columns repeated (the reference's geodataframe_to_cells explode).
+    Null geometries survive as one row with a null cell — the reference's
+    _explode_table_include_null semantics (pandas/vector.py:113-136: a
+    null cell list becomes [None]; an EMPTY cell list still drops the
+    row)."""
+    geoms = list(df[geometry_column])
+    nonnull_pos = [i for i, g in enumerate(geoms) if g is not None]
     rows, cells = vector.wkb_to_cells(
-        list(df[geometry_column]), resolution, containment_mode, compact
+        [geoms[i] for i in nonnull_pos], resolution, containment_mode, compact
     )
-    out = df.drop(columns=[geometry_column]).iloc[rows].reset_index(drop=True)
-    out[cell_column_name] = cells
+    orig = np.asarray(nonnull_pos, dtype=np.int64)[rows]
+    null_pos = np.array(
+        [i for i, g in enumerate(geoms) if g is None], dtype=np.int64
+    )
+    all_rows = np.concatenate([orig, null_pos])
+    all_cells = pd.array(
+        list(cells.astype(object)) + [None] * len(null_pos), dtype="UInt64"
+    )
+    order = np.argsort(all_rows, kind="stable")
+    out = df.drop(columns=[geometry_column]).iloc[all_rows[order]].reset_index(
+        drop=True
+    )
+    out[cell_column_name] = all_cells[order]
     return out
 
 

@@ -215,6 +215,40 @@ def test_text_kernels():
     assert len(set(fp)) > len(fp) * 0.9  # fingerprints mostly distinct
 
 
+def test_pandas_compat_surface():
+    """The reference's pandas accessor analogues: geometry-df explode
+    (keeping null geometries as one null-cell row, matching
+    _explode_table_include_null), WKB-series polyfill, cell-df geometry
+    attach, and raster_to_dataframe."""
+    import pandas as pd
+
+    from h3ray import pandas_compat, raster as raster_mod
+    from h3ray.h3core import bits, wkb as wkb_mod
+
+    ring = np.array([[10, 40], [12, 40], [12, 42], [10, 42], [10, 40]], float)
+    poly = wkb_mod.dumps_polygon([ring])
+    df = pd.DataFrame({"name": ["a", "b", "c"], "geometry": [poly, None, poly]})
+    out = pandas_compat.dataframe_to_cells(df, resolution=4)
+    counts = out.groupby("name").size().to_dict()
+    assert counts["a"] == counts["c"] > 0 and counts["b"] == 1
+    nb = out[out.name == "b"]
+    assert nb["cell"].isna().all()  # null geometry -> one null-cell row
+    a_cells = out[out.name == "a"]["cell"].dropna().to_numpy().astype(np.uint64)
+    assert bits.is_valid_cell(a_cells).all()
+    # series -> per-row cell arrays
+    s = pandas_compat.series_to_cells(pd.Series([poly, None]), resolution=4)
+    assert len(s.iloc[0]) == counts["a"] and len(s.iloc[1]) == 0
+    # attach WKB polygons back
+    wdf = pandas_compat.cells_dataframe_to_wkb(pd.DataFrame({"cell": a_cells[:3]}))
+    g = wkb_mod.loads(wdf["geometry"].iloc[0])
+    assert g["type"] == "Polygon"
+    # raster -> dataframe
+    t = raster_mod.Transform(0.1, 0, 10.0, 0, -0.1, 42.0)
+    arr = (np.arange(100).reshape(10, 10) % 3).astype(np.int32)
+    rdf = pandas_compat.raster_to_dataframe(arr, t, 6, nodata_value=0)
+    assert len(rdf) > 0 and set(rdf["value"].unique()) <= {1, 2}
+
+
 def test_chunking_and_sampling():
     """chunk_documents reassembles losslessly (strip each chunk's leading
     overlap, concatenate == original, unicode included) and hash_sample is
