@@ -321,10 +321,15 @@ def cells_area_m2(h: np.ndarray) -> np.ndarray:
     return cells_area_rads2(h) * (EARTH_RADIUS_KM**2) * 1.0e6
 
 
-def cells_bounds_arrays(h: np.ndarray):
+def cells_bounds_arrays(h: np.ndarray, split_antimeridian: bool = False):
     """Per-cell bounding box (minx, miny, maxx, maxy) in degrees over the
-    boundary vertices (matches the reference's bounding_rect semantics,
-    crates/h3arrow/src/algorithm/bounding_rect.rs)."""
+    boundary vertices.  Default semantics match the reference's
+    bounding_rect EXACTLY (crates/h3arrow/src/algorithm/bounding_rect.rs
+    via geo: plain min/max, NO antimeridian handling — a transmeridian
+    cell yields a near-global lng range, like the reference).  Pass
+    ``split_antimeridian=True`` for the wraparound-aware variant that
+    returns a crossing representation (minx > maxx) for transmeridian
+    cells — a convenience the reference does not offer."""
     h = np.asarray(h, dtype=np.uint64)
     lats, lngs, offsets = cell_boundary(h)
     n = len(h)
@@ -338,18 +343,19 @@ def cells_bounds_arrays(h: np.ndarray):
     np.maximum.at(maxx, cell_idx, lngs)
     np.minimum.at(miny, cell_idx, lats)
     np.maximum.at(maxy, cell_idx, lats)
-    # antimeridian-crossing cells: recompute lngs shifted into [0, 360)
-    wide = (maxx - minx) > 180.0
-    if wide.any():
-        wsel = wide[cell_idx]
-        widx = cell_idx[wsel]
-        wl = np.mod(lngs[wsel], 360.0)
-        minx[wide] = np.inf
-        maxx[wide] = -np.inf
-        np.minimum.at(minx, widx, wl)
-        np.maximum.at(maxx, widx, wl)
-        fix = wide & (minx > 180.0)
-        minx[fix] -= 360.0
-        fix2 = wide & (maxx > 180.0)
-        maxx[fix2] -= 360.0
+    if split_antimeridian:
+        # antimeridian-crossing cells: recompute lngs shifted into [0, 360)
+        wide = (maxx - minx) > 180.0
+        if wide.any():
+            wsel = wide[cell_idx]
+            widx = cell_idx[wsel]
+            wl = np.mod(lngs[wsel], 360.0)
+            minx[wide] = np.inf
+            maxx[wide] = -np.inf
+            np.minimum.at(minx, widx, wl)
+            np.maximum.at(maxx, widx, wl)
+            fix = wide & (minx > 180.0)
+            minx[fix] -= 360.0
+            fix2 = wide & (maxx > 180.0)
+            maxx[fix2] -= 360.0
     return minx, miny, maxx, maxy

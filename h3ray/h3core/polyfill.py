@@ -115,7 +115,10 @@ def _bbox_cover_cells(minx, miny, maxx, maxy, res: int) -> np.ndarray:
     step = _MIN_INRADIUS_DEG[res] * 0.9
     la0 = max(-89.999, miny - buf)
     la1 = min(89.999, maxy + buf)
-    lat_extreme = max(abs(la0), abs(la1)) if la0 * la1 > 0 else 0.0
+    # the longitude buffer must widen by 1/cos at the HIGHEST latitude the
+    # bbox reaches — also when it spans the equator (taking 0 there would
+    # under-buffer the high-latitude edge and break the superset guarantee)
+    lat_extreme = max(abs(la0), abs(la1))
     coslat = max(0.05, np.cos(np.radians(lat_extreme)))
     lo0 = minx - buf / coslat
     lo1 = maxx + buf / coslat
@@ -174,8 +177,10 @@ def polygon_to_cells(
     all_verts_in = n_in == counts
     any_vert_in = n_in > 0
 
-    # cell edges x ring edges intersection (only for cells near the boundary)
-    near = ~(all_verts_in & centroid_in) | (mode != "containsboundary")
+    # cell edges x ring edges intersection.  This runs for EVERY candidate
+    # cell: a ring can cut a notch through a cell whose vertices (and
+    # centroid) all remain inside the polygon, so no vertex-based prefilter
+    # is sound — the crossing test itself is the arbiter.
     # build cell edge segments
     nxt = np.arange(len(blat)) + 1
     ring_end = off[1:][cell_idx] - 1
@@ -202,18 +207,23 @@ def polygon_to_cells(
             crosses[crosses_idx] = True
 
     if mode == "containsboundary":
-        return np.sort(cand[all_verts_in & centroid_in & ~crosses])
-    # intersectsboundary: any contact between cell and polygon
-    intersects = centroid_in | any_vert_in | crosses
-    # polygon vertices inside a cell also count (tiny polygon within a cell)
-    if mode == "covers" or mode == "intersectsboundary":
-        # a cell covering a polygon vertex: encode the polygon vertices
+        # "every cell whose boundaries are entirely within the polygon"
+        # (reference h3ronpy/src/vector.rs:44): all boundary vertices in,
+        # no ring crossing.  No centroid condition — a hole smaller than
+        # the cell sitting on the centroid must NOT exclude the cell.
+        return np.sort(cand[all_verts_in & ~crosses])
+    # intersectsboundary: the cell BOUNDARY touches the polygon — a vertex
+    # inside it or an edge crossing a ring (reference vector.rs:53-57).  A
+    # cell merely covering a tiny interior polygon has no boundary contact
+    # and is excluded here; that case belongs to covers (vector.rs:58-60).
+    intersects = any_vert_in | crosses
+    if mode == "covers":
+        # ... plus coverage without boundary contact: the polygon sits
+        # inside one cell — detected via the cell centroid being inside
+        # the polygon or a polygon vertex encoding into the cell
         vcells = latlng_to_cell(allpts[:, 1], allpts[:, 0], res)
         cover_hits = np.isin(cand, vcells)
-        if mode == "covers":
-            intersects |= cover_hits
-        else:
-            intersects |= cover_hits & crosses  # vertex inside + edge contact
+        intersects |= centroid_in | cover_hits
     return np.sort(cand[intersects])
 
 
@@ -225,16 +235,21 @@ def line_to_cells(geom: dict, res: int) -> np.ndarray:
     if len(coords) < 2:
         return np.empty(0, dtype=np.uint64)
     step = _MIN_INRADIUS_DEG[res] * 0.45
-    pts = []
     p0 = coords[:-1]
     p1 = coords[1:]
     seg = p1 - p0
     length = np.hypot(seg[:, 0], seg[:, 1])
     nsteps = np.maximum(1, np.ceil(length / step).astype(np.int64))
-    for i in range(len(p0)):
-        t = np.linspace(0.0, 1.0, nsteps[i] + 1)
-        pts.append(p0[i] + t[:, None] * seg[i])
-    allp = np.vstack(pts)
+    # jagged-vectorized sampling: every segment's fractional positions in
+    # one flat array (no per-segment Python loop)
+    counts = nsteps + 1
+    total = int(counts.sum())
+    seg_of = np.repeat(np.arange(len(p0)), counts)
+    t_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    frac = t_idx / nsteps[seg_of]
+    allp = p0[seg_of] + frac[:, None] * seg[seg_of]
     cells = latlng_to_cell(allp[:, 1], allp[:, 0], res)
     # keep cells whose boundary the line actually crosses: sampled densely
     # enough that consecutive samples are in the same or adjacent cells

@@ -260,6 +260,7 @@ PENTAGON_BASE_CELLS_LIST = [int(x) for x in np.nonzero(BASE_CELL_IS_PENTAGON)[0]
 # --- neighbor step ----------------------------------------------------------
 
 E_OK = 0
+E_CELL_INVALID = 5  # matches C H3's E_CELL_INVALID
 E_PENTAGON = 9
 
 
@@ -323,6 +324,14 @@ def neighbor_rotations(origin: np.ndarray, direction, rotations=None):
             active = np.zeros(n, dtype=bool)
         else:
             old_digit = bits.get_index_digit(h, r + 1).astype(np.int64)
+            # a corrupt index carrying INVALID_DIGIT (7) inside its res
+            # range must fail per-row (C h3NeighborRotations returns
+            # E_CELL_INVALID), not IndexError the whole batch
+            bad = active & (old_digit > 6)
+            if bad.any():
+                err[bad] = E_CELL_INVALID
+                active = active & ~bad
+                old_digit = np.minimum(old_digit, 6)  # safe table indexing
             if is_class_iii(r + 1):
                 nd = NEW_DIGIT_CIII[old_digit, cur_dir]
                 next_dir = NEW_ADJUSTMENT_CIII[old_digit, cur_dir]
@@ -461,7 +470,6 @@ def grid_disk_distances(origins: np.ndarray, k: int):
             np.concatenate(dist_all),
         )
 
-    res_bits = origins[0] >> np.uint64(52)  # constant high bits
     low_mask = np.uint64((1 << 52) - 1)
 
     def pack(rows, cells):

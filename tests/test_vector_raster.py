@@ -54,6 +54,59 @@ class TestPolyfill:
         ch = polyfill.polygon_to_cells(withhole, 7)
         assert len(ch) < len(cc)
 
+    def test_covering_cell_mode_split(self):
+        """A tiny polygon strictly inside one cell with no boundary contact:
+        excluded from intersectsboundary (no boundary is touched), returned
+        by covers — the exact distinction the reference draws
+        (h3ronpy/src/vector.rs:53-60)."""
+        cell = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 5)
+        clat, clng = faceijk.cell_to_latlng(cell)
+        d = 0.0005  # ~50 m box centered on the cell centroid
+        tiny = {
+            "type": "Polygon",
+            "rings": [np.array(
+                [[clng[0] - d, clat[0] - d], [clng[0] + d, clat[0] - d],
+                 [clng[0] + d, clat[0] + d], [clng[0] - d, clat[0] + d],
+                 [clng[0] - d, clat[0] - d]]
+            )],
+        }
+        ib = polyfill.polygon_to_cells(tiny, 5, "intersectsboundary")
+        cv = polyfill.polygon_to_cells(tiny, 5, "covers")
+        assert len(ib) == 0
+        assert list(cv) == [cell[0]]
+
+    def test_containsboundary_hole_on_centroid(self):
+        """A hole smaller than the cell sitting exactly on its centroid must
+        NOT exclude the cell from containsboundary — the contract is about
+        the cell BOUNDARY being inside the polygon (vector.rs:44), not the
+        centroid."""
+        cell = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 5)
+        clat, clng = faceijk.cell_to_latlng(cell)
+        d = 0.0005
+        hole = np.array(
+            [[clng[0] - d, clat[0] - d], [clng[0] + d, clat[0] - d],
+             [clng[0] + d, clat[0] + d], [clng[0] - d, clat[0] + d],
+             [clng[0] - d, clat[0] - d]]
+        )[::-1]
+        big = {"type": "Polygon", "rings": [RECT["rings"][0], hole]}
+        cb = polyfill.polygon_to_cells(big, 5, "containsboundary")
+        assert cell[0] in cb
+
+    def test_invalid_digit_neighbor_flagged_not_crash(self):
+        """A cell carrying INVALID_DIGIT (7) inside its res range fails
+        per-row with E_CELL_INVALID (C parity), not IndexError for the
+        whole batch."""
+        from h3ray.h3core import bits, traversal
+
+        good = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 3)
+        # corrupt the FINEST digit (visited first by the neighbor walk; a
+        # coarser unvisited digit passes through like in the C algorithm)
+        bad = bits.set_index_digit(good.copy(), 3, np.uint64(7))
+        both = np.concatenate([good, bad])
+        nbr, _, err = traversal.neighbor_rotations(both, 2)
+        assert err[0] == 0 and err[1] == traversal.E_CELL_INVALID
+        assert bits.is_valid_cell(nbr[:1]).all()
+
     def test_degenerate(self):
         # reference: tests/pandas/test_vector.py:78-97
         deg = {
