@@ -10,8 +10,6 @@ join untouched (the per-row span-sequence invariant).
 
 from __future__ import annotations
 
-import glob
-
 import numpy as np
 import pyarrow as pa
 
@@ -58,10 +56,15 @@ def make_kernel(lookup: join_mod.RectLookup):
 
 
 def run_flagship(sf_dir: str, out_dir: str):
-    """Resumable run over every documents fragment in ``sf_dir``."""
+    """Resumable run over every documents fragment in ``sf_dir``.
+    Fragment discovery goes through h3ray.sources (format-dispatched: the
+    production corpus is a Lance table whose fragments play the same
+    partition role these parquet files do)."""
+    from .. import sources
+
     nk, lng0, lat0, lng1, lat1 = nation_rects(sf_dir)
     lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=3)
-    frags = sorted(glob.glob(f"{sf_dir}/documents*.parquet"))
+    frags = sources.list_fragments(sf_dir, pattern="documents*.parquet")
     return lineage.run_partitioned(
         frags,
         out_dir,

@@ -1,0 +1,75 @@
+"""Input sources: format-dispatched corpus reading + fragment discovery.
+
+At production scale the corpus is a LANCE table of interleaved documents
+(BASELINE input_hint); the driver's testdata is parquet.  Both formats
+present the same two capabilities the engine needs:
+
+  * a streaming ``ray.data.Dataset`` scan with column pruning, and
+  * a stable FRAGMENT list — the unit of work for the resumable flagship
+    (one lineage-committed partition per fragment; Lance fragments and
+    parquet files are interchangeable here).
+
+The Lance wheel is not installed in this environment, so the Lance branch
+is import-gated with a precise error; the parquet branch is the fully
+exercised path (same call sites, same semantics).  No other code needs to
+know the storage format.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+
+def detect_format(path: str) -> str:
+    """'lance' for a .lance dataset dir, else 'parquet'."""
+    if path.endswith(".lance") or (
+        os.path.isdir(path) and glob.glob(os.path.join(path, "*.lance"))
+    ):
+        return "lance"
+    return "parquet"
+
+
+def _require_lance():
+    try:
+        import lance  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Lance support requires the 'pylance' package (unavailable in "
+            "this environment); the parquet path is format-equivalent — "
+            "point the same call at a parquet directory"
+        ) from exc
+
+
+def read_table_dataset(path: str, format: str = "auto", columns=None,
+                       **read_kwargs):
+    """Streaming Dataset scan of a corpus table in either format, with
+    column pruning pushed into the read."""
+    import ray
+
+    fmt = detect_format(path) if format == "auto" else format
+    if fmt == "lance":
+        _require_lance()
+        return ray.data.read_lance(path, columns=columns, **read_kwargs)
+    if os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        paths = path
+    return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+
+
+def list_fragments(path: str, format: str = "auto",
+                   pattern: str = "*.parquet") -> list[str]:
+    """Stable, sorted fragment identifiers — the partition unit for
+    resumable lineage (lineage.run_partitioned).  Parquet: one file per
+    fragment.  Lance: one dataset fragment id per entry (gated)."""
+    fmt = detect_format(path) if format == "auto" else format
+    if fmt == "lance":
+        _require_lance()
+        import lance
+
+        ds = lance.dataset(path)
+        return [f"{path}#fragment-{f.fragment_id}" for f in ds.get_fragments()]
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, pattern)))
+    return [path]
