@@ -29,17 +29,11 @@ import pyarrow as pa
 
 from .h3core import bits, faceijk
 
-# minimum cell inradius (radians) by resolution, derived once from the grid:
-# conservative global minimum edge scale (used for cover sampling spacing)
-_MIN_INRADIUS_DEG = {
-    0: 4.0, 1: 1.5, 2: 0.55, 3: 0.2, 4: 0.075, 5: 0.028,
-    6: 0.0105, 7: 0.004, 8: 0.0015, 9: 0.00055,
-}
-# maximum center-to-vertex distance (degrees of great-circle) by res
-_MAX_CIRCUMRADIUS_DEG = {
-    0: 12.0, 1: 4.5, 2: 1.7, 3: 0.65, 4: 0.25, 5: 0.095,
-    6: 0.036, 7: 0.0137, 8: 0.0052, 9: 0.002,
-}
+# Full 0-15 conservative per-resolution cell metrics (degrees, global worst
+# cases), shared with the polyfill cover sampler — the reference's
+# SpatialIndex queries are resolution-agnostic (spatial_index.rs:101-166),
+# so the PIP join must accept every H3 resolution too.
+from .h3core.polyfill import _MAX_CIRCUMRADIUS_DEG, _MIN_INRADIUS_DEG
 
 
 def rect_cover_cells(

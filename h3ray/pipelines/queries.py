@@ -1649,8 +1649,75 @@ def q_pip_join_hash(sf_dir: str):
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def fine_rects(sf_dir: str):
+    """The nation rectangles shrunk 1000x (spans ~0.009 x 0.013 deg) for a
+    fine-resolution join — exercises the full-range cover tables
+    (join.py imports polyfill's res 0-15 metrics; the reference's
+    SpatialIndex queries are resolution-agnostic, spatial_index.rs:101-166).
+    Decimal arithmetic mirrors the SQL twin's IEEE op order exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = t.column("n_nationkey").to_numpy().astype(np.int64)
+    lat0 = (nk * 11 % 140) / 1000.0 - 0.07
+    lng0 = (nk * 29 % 340) / 1000.0 - 0.17
+    return nk, lng0, lat0, lng0 + 0.013, lat0 + 0.009
+
+
+def q_pip_join_fine(sf_dir: str):
+    """pip_join at res 11 (urban-scale cells, ~25 m edges): broadcast
+    RectLookup cover + exact refine over sub-0.2-degree point coordinates.
+    Same SQL BETWEEN oracle shape as pip_join, scaled 1000x down."""
+    nk, lng0, lat0, lng1, lat1 = fine_rects(sf_dir)
+    lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=11)
+    lookup_ref = ray.put(lookup)
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        batch = batch.append_column(
+            "lat", pa.array(((eid * 37) % 16000) / 100000.0 - 0.08)
+        )
+        return batch.append_column(
+            "lng", pa.array(((eid * 73) % 36000) / 100000.0 - 0.18)
+        )
+
+    refine = join_mod.make_pip_refine_kernel(
+        lookup_ref, id_cols=("event_id",), rect_id_col="rect_id"
+    )
+
+    def cast_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "rect_id": batch.column("rect_id").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir)
+        .map_batches(add_coords, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(cast_out, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
 QUERIES.update({"pip_join_salted": q_pip_join_salted})
 QUERIES.update({"pip_join_hash": q_pip_join_hash})
+QUERIES.update({"pip_join_fine": q_pip_join_fine})
+ORACLE_SQL.update(
+    {
+        "pip_join_fine": """
+            SELECT e.event_id, CAST(n.n_nationkey AS BIGINT) AS rect_id
+            FROM events e, nation n
+            WHERE ((e.event_id * 37) % 16000) / 100000.0 - 0.08
+                      BETWEEN (n.n_nationkey * 11 % 140) / 1000.0 - 0.07
+                          AND (n.n_nationkey * 11 % 140) / 1000.0 - 0.07 + 0.009
+              AND ((e.event_id * 73) % 36000) / 100000.0 - 0.18
+                      BETWEEN (n.n_nationkey * 29 % 340) / 1000.0 - 0.17
+                          AND (n.n_nationkey * 29 % 340) / 1000.0 - 0.17 + 0.013
+        """,
+    }
+)
 ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})
 ORACLE_SQL.update({"pip_join_hash": ORACLE_SQL["pip_join"]})
 ORACLE_SQL.update({"ann_ivf": ORACLE_SQL["ann_top1"]})

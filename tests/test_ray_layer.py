@@ -585,6 +585,55 @@ def test_salted_join_under_skew(ray_session):
     assert got == ref_pairs
 
 
+def test_pip_join_fine_resolution(ray_session):
+    """All three PIP variants at res 11 (urban scale) — regression for the
+    round-3 defect where the cover tables stopped at res 9 and every
+    variant raised KeyError for res >= 10.  Reference SpatialIndex queries
+    are resolution-agnostic (spatial_index.rs:101-166)."""
+    import ray
+
+    from h3ray import join as join_mod
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    lat = rng.uniform(-0.05, 0.05, n)
+    lng = rng.uniform(-0.12, 0.12, n)
+    pid = np.arange(n, dtype=np.int64)
+    nk = np.arange(5, dtype=np.int64)
+    lat0 = nk * 0.017 - 0.045
+    lng0 = nk * 0.041 - 0.11
+    lat1, lng1 = lat0 + 0.009, lng0 + 0.013
+    # brute-force planar reference
+    hit = (
+        (lng[:, None] >= lng0[None, :]) & (lng[:, None] <= lng1[None, :])
+        & (lat[:, None] >= lat0[None, :]) & (lat[:, None] <= lat1[None, :])
+    )
+    pi, ri = np.nonzero(hit)
+    expect = sorted(zip(pid[pi].tolist(), nk[ri].tolist()))
+    assert len(expect) > 20
+    pts = pa.table({"point_id": pa.array(pid), "lat": pa.array(lat),
+                    "lng": pa.array(lng)})
+    rects = pa.table({"rect_id": pa.array(nk), "lng0": pa.array(lng0),
+                      "lat0": pa.array(lat0), "lng1": pa.array(lng1),
+                      "lat1": pa.array(lat1)})
+    for res in (10, 11, 12):
+        lookup = join_mod.RectLookup(nk, lng0, lat0, lng1, lat1, res=res)
+        ref = join_mod.make_pip_refine_kernel(lookup, id_cols=("point_id",))(pts)
+        got = sorted(zip(ref.column("point_id").to_pylist(),
+                         ref.column("rect_id").to_pylist()))
+        assert got == expect, f"broadcast variant wrong at res {res}"
+    out = join_mod.pip_join_shuffle(
+        ray.data.from_arrow(pts).repartition(3),
+        ray.data.from_arrow(rects), res=11, salt=2,
+    ).take_all()
+    assert sorted((r["point_id"], r["rect_id"]) for r in out) == expect
+    out = join_mod.pip_join_hash(
+        ray.data.from_arrow(pts).repartition(3),
+        ray.data.from_arrow(rects), res=11, num_partitions=2,
+    ).take_all()
+    assert sorted((r["point_id"], r["rect_id"]) for r in out) == expect
+
+
 def test_ivf_partitioned_index_prunes_io(ray_session, tmp_path):
     """ivf_build writes one directory per bucket; a query reads only its
     probed buckets (I/O pruning) and self top-1 recall is exact."""
