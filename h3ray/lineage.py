@@ -55,14 +55,103 @@ def completed_partitions(output_dir: str) -> set[str]:
     return done
 
 
+_NULL_SENTINEL = np.uint64(0x9AE16A3B2F90404F)
+_MIX_MULT = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3-style finalizer: breaks the linearity of the additive
+    cross-row fold so per-row hash collisions can't cancel."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= _MIX_MULT
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xC4CEB9FE1A85EC53)
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def _column_row_hashes(col) -> np.ndarray:
+    """uint64 hash per row of one column, fully vectorized (no to_pylist).
+
+    Strings/binaries hash their UTF-8 bytes (FNV-1a over the flat buffer);
+    list columns hash their flattened child bytes per segment; fixed-width
+    columns hash their raw little-endian bytes.  Nulls map to a sentinel.
+    """
+    from .functions._strkern import fnv1a_segments, utf8_view
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    null_mask = None
+    if col.null_count:
+        null_mask = col.is_null().to_numpy(zero_copy_only=False)
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        data, off = utf8_view(col)
+        h = fnv1a_segments(data, off)
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths = np.diff(
+            pa.chunked_array([col]).combine_chunks().offsets.to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+        )
+        child = col.flatten()
+        ch = _column_row_hashes(child)
+        off = np.zeros(len(col) + 1, dtype=np.int64)
+        np.cumsum(lengths * 8, out=off[1:])
+        h = fnv1a_segments(ch.astype("<u8").view(np.uint8), off)
+    elif pa.types.is_boolean(t):
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            col = pc.fill_null(col, False)
+        v = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _mix64(v + np.uint64(0x1D))
+    else:
+        # fixed-width (ints, floats, temporal): raw bytes per row
+        if col.null_count:
+            import pyarrow.compute as pc
+
+            col = pc.fill_null(col, pa.scalar(0, type=t))
+        v = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
+        w = v.dtype.itemsize
+        if w <= 8:
+            # one 64-bit lane per row: reinterpret the raw bits unsigned
+            # (float NaN payloads and -0.0 vs 0.0 stay distinguishable,
+            # matching bytewise semantics) and mix once — no byte loop.
+            u = v.view(f"u{w}").astype(np.uint64)
+            h = _mix64(u + np.uint64(w))
+        else:
+            off = np.arange(len(col) + 1, dtype=np.int64) * w
+            h = fnv1a_segments(v.view(np.uint8), off)
+    if null_mask is not None:
+        h = h.copy()
+        h[null_mask] = _NULL_SENTINEL
+    return h
+
+
 def table_checksum(table: pa.Table) -> int:
-    """Order-insensitive crc of the table's rows (sorted serialized rows)."""
+    """Order-insensitive 32-bit checksum, vectorized end-to-end: per-column
+    uint64 row hashes (FNV over raw Arrow buffers — no ``to_pylist``),
+    FNV-combined across columns in sorted-name order, finalizer-mixed, then
+    summed mod 2^64 across rows (the commutative fold makes it
+    row-order-insensitive, so repartitioned retries commit identical
+    checksums).  Keeps the uint32 sidecar schema via a 64->32 fold."""
     if table.num_rows == 0:
         return 0
-    cols = sorted(table.column_names)
-    arrs = [table.column(c).to_pylist() for c in cols]
-    rows = sorted(zip(*arrs)) if arrs else []
-    return zlib.crc32(repr(rows).encode())
+    acc = np.full(table.num_rows, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for name in sorted(table.column_names):
+            acc ^= _mix64(
+                _column_row_hashes(table.column(name))
+                + np.uint64(zlib.crc32(name.encode()))
+            )
+            acc *= prime
+        total = int(np.sum(_mix64(acc), dtype=np.uint64))
+    return (total ^ (total >> 32)) & 0xFFFFFFFF
 
 
 def commit_partition(
