@@ -732,22 +732,44 @@ def q_embedding_dup_pairs(sf_dir: str):
     return out
 
 
-def q_ann_top1(sf_dir: str):
-    """Brute-force cosine top-1 for the first 20 vectors: each query's best
-    match must be itself (full value oracle)."""
+def _query_vectors(sf_dir: str, n: int):
+    """The first ``n`` (vec_id, embedding) rows via a BOUNDED driver read:
+    only the first parquet row group, only the two needed columns — the
+    driver never holds the full embeddings table (at 100 TB the query
+    slice is the only thing that may sit on the driver)."""
     import pyarrow.parquet as pq
 
-    from ..functions import ann as ann_fns
-
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    t = pf.read_row_group(0, columns=["vec_id", "embedding"])
+    if t.num_rows < n:  # tiny files: append row groups until n rows
+        parts = [t]
+        g = 1
+        while sum(p.num_rows for p in parts) < n and g < pf.num_row_groups:
+            parts.append(pf.read_row_group(g, columns=["vec_id", "embedding"]))
+            g += 1
+        t = pa.concat_tables(parts)
+    t = t.slice(0, n)
     flat = t.column("embedding").combine_chunks().flatten().to_numpy(
         zero_copy_only=False
     )
     dim = len(flat) // t.num_rows
-    X = flat.reshape(t.num_rows, dim)
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    top = ann_fns.bruteforce_topk(ds, ids, X[:20], k=1)
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(t.num_rows, dim)
+
+
+def _embeddings_ds(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def q_ann_top1(sf_dir: str):
+    """Brute-force cosine top-1 for the first 20 vectors: each query's best
+    match must be itself (full value oracle)."""
+    from ..functions import ann as ann_fns
+
+    ids, Q = _query_vectors(sf_dir, 20)
+    top = ann_fns.bruteforce_topk(_embeddings_ds(sf_dir), ids, Q, k=1)
     return pa.table(
         {
             "query_id": top.column("query_id"),
@@ -764,19 +786,10 @@ def q_ann_topk(sf_dir: str):
     accumulate in float64, so rank order agrees unless two distinct
     neighbors tie within ~1 ulp (never in this corpus — asserted by
     tools/check_oracles at sf0.001/0.01/0.1)."""
-    import pyarrow.parquet as pq
-
     from ..functions import ann as ann_fns
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    flat = t.column("embedding").combine_chunks().flatten().to_numpy(
-        zero_copy_only=False
-    )
-    dim = len(flat) // t.num_rows
-    X = flat.reshape(t.num_rows, dim)
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:10]
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    top = ann_fns.bruteforce_topk(ds, ids, X[:10], k=5)
+    ids, Q = _query_vectors(sf_dir, 10)
+    top = ann_fns.bruteforce_topk(_embeddings_ds(sf_dir), ids, Q, k=5)
     return pa.table(
         {
             "query_id": top.column("query_id"),
@@ -793,25 +806,21 @@ def q_ann_ivf(sf_dir: str):
     the query itself (full value oracle); I/O pruning asserted in pytest."""
     import tempfile
 
-    import pyarrow.parquet as pq
-
     from ..functions import ann as ann_fns
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    flat = t.column("embedding").combine_chunks().flatten().to_numpy(
-        zero_copy_only=False
-    )
-    dim = len(flat) // t.num_rows
-    X = flat.reshape(t.num_rows, dim)
-    cent = ann_fns.train_centroids(X[:: max(1, t.num_rows // 256)], 16)
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # centroid training uses a BOUNDED sample (first row groups, pruned
+    # columns) — at scale this would be a Dataset.random_sample pulled
+    # once; self-top-1 correctness is centroid-independent because a
+    # query's own bucket is always among its probes.
+    sample_ids, S = _query_vectors(sf_dir, 2048)
+    cent = ann_fns.train_centroids(S[:: max(1, len(S) // 256)], 16)
     index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_")
     try:
-        ann_fns.ivf_build(ds, cent, index_dir)
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)[:20]
+        ann_fns.ivf_build(_embeddings_ds(sf_dir), cent, index_dir)
+        ids, Q = sample_ids[:20], S[:20]
         # ivf_topk_partitioned materializes its result, so the scratch
         # index can be removed before returning
-        top, _ = ann_fns.ivf_topk_partitioned(index_dir, ids, X[:20], cent, k=1)
+        top, _ = ann_fns.ivf_topk_partitioned(index_dir, ids, Q, cent, k=1)
     finally:
         import shutil
 
