@@ -407,6 +407,16 @@ def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     if checkpoint_dir is not None:
+        import os
+
+        if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
+            # same guard as ann.ivf_build: stale parquet from a prior run
+            # would silently merge into this run's bucketized rows
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} exists and is non-empty; "
+                "pass a fresh directory (stale checkpoints would corrupt "
+                "the bucket join)"
+            )
         buckets.write_parquet(checkpoint_dir)
         buckets = ray.data.read_parquet(checkpoint_dir)
     counts = buckets.groupby("bucket").count().take_all()  # <= 2^planes rows

@@ -35,8 +35,22 @@ def hash_sample(batch: pa.Table, rate, key_col: str = "doc_id",
     ``stratum_col`` (strata absent from the dict use ``default_rate``) —
     the per-source mixing-weight pattern; ship the dict via the map_batches
     closure (it is tiny and broadcast once per worker with the function).
+
+    Key domain: keys must be NON-NEGATIVE integers.  The kernel works in
+    uint64 with wraparound multiplication, while the SQL oracle twin does
+    int64 arithmetic (DuckDB errors on overflow instead of wrapping) — the
+    two agree for keys in [0, 2^63/2654435761 ≈ 3.47e9] and we reject
+    negatives outright so engine and oracle can never silently diverge.
     """
-    keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys_signed = batch.column(key_col).to_numpy(zero_copy_only=False)
+    if np.issubdtype(keys_signed.dtype, np.signedinteger) and keys_signed.size \
+            and int(keys_signed.min()) < 0:
+        raise ValueError(
+            f"hash_sample key column {key_col!r} contains negative values; "
+            "keys must be non-negative (uint64 wraparound would diverge "
+            "from the int64 SQL-oracle semantics)"
+        )
+    keys = keys_signed.astype(np.uint64)
     with np.errstate(over="ignore"):
         h = (keys * _KNUTH) % _MOD32
     if isinstance(rate, dict):

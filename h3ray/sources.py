@@ -53,6 +53,11 @@ def read_table_dataset(path: str, format: str = "auto", columns=None,
         return ray.data.read_lance(path, columns=columns, **read_kwargs)
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not paths:
+            raise FileNotFoundError(
+                f"no *.parquet files in {path!r} — mistyped corpus path? "
+                "(an empty scan would otherwise 'succeed' over zero rows)"
+            )
     else:
         paths = path
     return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
@@ -71,5 +76,12 @@ def list_fragments(path: str, format: str = "auto",
         ds = lance.dataset(path)
         return [f"{path}#fragment-{f.fragment_id}" for f in ds.get_fragments()]
     if os.path.isdir(path):
-        return sorted(glob.glob(os.path.join(path, pattern)))
+        frags = sorted(glob.glob(os.path.join(path, pattern)))
+        if not frags:
+            raise FileNotFoundError(
+                f"no fragments matching {pattern!r} in {path!r} — a "
+                "resumable run over zero partitions would report success "
+                "with no output"
+            )
+        return frags
     return [path]

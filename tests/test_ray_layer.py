@@ -245,6 +245,40 @@ def test_sources_format_dispatch(ray_session, tmp_path):
     if not has_lance:
         with pytest.raises(NotImplementedError, match="pylance"):
             sources.read_table_dataset(str(d), format="lance")
+    # empty/mistyped corpus dirs fail loudly instead of scanning 0 rows
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="parquet"):
+        sources.read_table_dataset(str(empty))
+    with pytest.raises(FileNotFoundError, match="fragments"):
+        sources.list_fragments(str(empty))
+
+
+def test_guards_negative_keys_and_stale_checkpoint(ray_session, tmp_path):
+    """hash_sample rejects negative keys (uint64 wraparound would diverge
+    from the int64 SQL-oracle semantics); embedding_dedup_pipeline refuses
+    a non-empty checkpoint_dir (stale parquet would merge into the run)."""
+    import pytest
+    import ray
+
+    from h3ray.functions import dedup, sampling
+
+    t = pa.table({"doc_id": pa.array([1, -2, 3], type=pa.int64())})
+    with pytest.raises(ValueError, match="negative"):
+        sampling.hash_sample(t, 0.5)
+
+    stale = tmp_path / "ckpt"
+    stale.mkdir()
+    (stale / "stale.parquet").write_bytes(b"junk")
+    emb = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(emb)
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.embedding_dedup_pipeline(ds, planes=0, threshold=0.5,
+                                       checkpoint_dir=str(stale))
 
 
 def test_pandas_compat_surface():
