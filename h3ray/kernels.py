@@ -421,12 +421,11 @@ def resolution_stats(batch: pa.Table, res_col: str = "resolution") -> pa.Table:
     res = _col(batch, res_col).astype(np.int64)
     if (res < 0).any() or (res > 15).any():
         raise ValueError("resolutions must be within 0..15")
-    n_cells = 2 + 120 * (7 ** res.astype(np.object_))
+    # 2 + 120*7^15 = 5.7e14 — fits int64 exactly for the whole 0..15 domain
+    n_cells = 2 + 120 * np.power(7, res, dtype=np.int64)
     batch = batch.append_column("area_avg_km2", pa.array(AVG_HEX_AREA_KM2[res]))
     batch = batch.append_column("edge_len_avg_km", pa.array(AVG_HEX_EDGE_KM[res]))
-    return batch.append_column(
-        "cell_count", pa.array([int(x) for x in n_cells], type=pa.int64())
-    )
+    return batch.append_column("cell_count", pa.array(n_cells, type=pa.int64()))
 
 
 def grid_disk_list(
@@ -449,17 +448,28 @@ def grid_disk_list(
 
 def grid_disk_distances_list(
     batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
-    out_col: str = "disk",
+    out_col: str | None = None, ring_order: bool = False,
 ) -> pa.Table:
     """Non-flattened grid_disk_distances: {disk: large_list<u64>,
-    k: large_list<u32>} per row (the reference names the list column 'cell',
-    h3ronpy/src/op/neighbor.rs:73-107; this engine defaults to 'disk' to
-    avoid clobbering the input cell column — pass ``out_col='cell'`` for
-    drop-in reference naming).  Within-list order is BFS order, not the
-    reference ring order — compare as sets per origin."""
+    k: large_list<u32>} per row (reference h3ronpy/src/op/neighbor.rs:73-107
+    names the list column 'cell'; ``out_col=None`` picks 'cell' whenever
+    that would not clobber an input column, else 'disk' — pass an explicit
+    name to override).
+
+    ``ring_order=True`` sorts every row's list by ascending grid distance,
+    so ring j occupies one contiguous segment per origin — the reference's
+    ring-by-ring layout (ring MEMBER SETS per k match exactly; within-ring
+    rotation order is BFS discovery order, not certified h3o-identical).
+    Default False keeps plain BFS order (cheaper: no per-row re-sort)."""
+    if out_col is None:
+        out_col = "cell" if "cell" not in batch.column_names else "disk"
     cells = _u64(batch, cell_col)
     rows, disk, dist = traversal.grid_disk_distances(cells, k)
-    order = np.argsort(rows, kind="stable")
+    if ring_order:
+        # stable: row-major, then distance; BFS discovery order within a ring
+        order = np.lexsort((dist, rows))
+    else:
+        order = np.argsort(rows, kind="stable")
     rows_s = rows[order]
     counts = np.bincount(rows_s, minlength=len(cells))
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)

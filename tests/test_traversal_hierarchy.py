@@ -151,3 +151,52 @@ def test_grid_disk_list_matches_flat():
     empty = pa.table({"cell": pa.array([], type=pa.uint64())})
     assert kernels.grid_disk_list(empty, 2).num_rows == 0
     assert kernels.grid_disk_distances_list(empty, 2).num_rows == 0
+    # out_col=None picks the reference name 'cell' when it would not
+    # clobber an input column (neighbor.rs:100-103 list column contract)
+    renamed = t.rename_columns(["origin"])
+    auto = kernels.grid_disk_distances_list(renamed, 2, cell_col="origin")
+    assert "cell" in auto.column_names and "disk" not in auto.column_names
+
+
+def test_resolution_stats_int64_exact():
+    """cell_count is exact int64 across the whole 0..15 domain (no object
+    dtype / Python loop): 2 + 120*7^res, res 15 = 569_707_381_193_162."""
+    import pyarrow as pa
+
+    from h3ray import kernels
+
+    t = pa.table({"resolution": pa.array([0, 9, 15], type=pa.int64())})
+    out = kernels.resolution_stats(t)
+    assert out.column("cell_count").type == pa.int64()
+    assert out.column("cell_count").to_pylist() == [
+        122, 2 + 120 * 7 ** 9, 569_707_381_193_162]
+
+
+def test_grid_disk_distances_list_ring_order():
+    """ring_order=True lays each origin's list out ring-by-ring: distances
+    are non-decreasing within a row, and the members of contiguous
+    segment j equal grid_ring_distances(origin, j, j) exactly (the
+    reference's per-k member sets, neighbor.rs:73-107).  Pentagon-adjacent
+    origin included so truncated rings are covered."""
+    import pyarrow as pa
+
+    from h3ray import kernels
+    from h3ray.h3core import faceijk, traversal
+
+    cells = faceijk.latlng_to_cell(
+        np.array([10.0, 52.5, 58.1]), np.array([20.0, 13.4, 10.5]), 3
+    )
+    t = pa.table({"cell": pa.array(cells)})
+    K = 3
+    out = kernels.grid_disk_distances_list(t, K, ring_order=True)
+    col = "cell" if "cell" in out.column_names and out.column(
+        "cell").type != pa.uint64() else "disk"
+    for r in range(len(cells)):
+        members = np.asarray(out.column(col)[r].as_py(), dtype=np.uint64)
+        dists = np.asarray(out.column("k")[r].as_py())
+        assert (np.diff(dists) >= 0).all(), "rings must be contiguous"
+        assert dists[0] == 0 and members[0] == cells[r]
+        for j in range(K + 1):
+            seg = set(members[dists == j].tolist())
+            rr, ring, rd = traversal.grid_ring_distances(cells[r:r + 1], j, j)
+            assert seg == set(ring.tolist())
