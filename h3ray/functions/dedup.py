@@ -524,7 +524,8 @@ def cosine_pairs_in_bucket(batch: pa.Table, emb_col: str = "embedding",
 
 def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
                          b_col: str = "b", node_col: str = "node",
-                         max_iters: int = 16):
+                         max_iters: int = 16,
+                         checkpoint_dir: str | None = None):
     """Distributed connected components over a duplicate-pair graph — the
     clustering step after LSH pair generation in a production dedup
     pipeline (pick one survivor per component, drop the rest).
@@ -541,9 +542,16 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
     scale).  ``nodes_ds`` (one ``node_col`` column) adds isolated nodes as
     self-edges so they emerge as singleton clusters.
 
-    Each round materializes the bounded state (2|E| + |V| rows); at 100 TB
-    checkpoint the state to parquet per round instead (see
-    embedding_dedup_pipeline's checkpoint_dir pattern).
+    Without ``checkpoint_dir`` each round materializes the bounded state
+    (2|E| + |V| rows) in the object store.  With ``checkpoint_dir`` set —
+    the 100 TB path — each round is written to
+    ``checkpoint_dir/round-NNN`` parquet and the next round streams from
+    disk, so no round's state is ever pinned in object-store memory and a
+    killed run can be restarted cheaply; the previous round's directory is
+    deleted once the new one is durable (disk use is bounded at ~2 rounds
+    of state).  The dir must be fresh (non-empty raises).  The RETURNED
+    Dataset lazily reads the final round's checkpoint, so the caller must
+    consume it before removing ``checkpoint_dir`` (caller owns cleanup).
 
     Raises RuntimeError if the label-sum fixpoint is not OBSERVED within
     ``max_iters`` rounds (observation needs one quiet round, so a graph of
@@ -589,14 +597,34 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
             pa.array(np.full(len(lab), m, dtype=np.int64)),
         )
 
+    if checkpoint_dir is not None:
+        import os
+        import shutil
+
+        if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
+            raise ValueError(
+                f"checkpoint_dir {checkpoint_dir!r} exists and is non-empty; "
+                "pass a fresh directory (stale round state would corrupt "
+                "the label propagation)"
+            )
+
     prev_sum = None
+    prev_round_dir = None
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         state = (
             state.groupby("node").map_groups(scatter_min, batch_format="pyarrow")
             .groupby(["ea", "eb"]).map_groups(scatter_min, batch_format="pyarrow")
-            .materialize()
         )
+        if checkpoint_dir is None:
+            state = state.materialize()
+        else:
+            round_dir = os.path.join(checkpoint_dir, f"round-{it:03d}")
+            state.write_parquet(round_dir)
+            state = ray.data.read_parquet(round_dir)
+            if prev_round_dir is not None:
+                shutil.rmtree(prev_round_dir, ignore_errors=True)
+            prev_round_dir = round_dir
         s = state.sum("label")
         if s == prev_sum:  # labels only decrease: equal sum == fixpoint
             converged = True

@@ -476,6 +476,38 @@ def test_connected_components_chain(ray_session):
     assert got == expect
 
 
+def test_connected_components_checkpointed(ray_session, tmp_path):
+    """The 100 TB path: per-round state goes through parquet checkpoints
+    (no object-store materialize), older rounds are pruned to keep disk
+    bounded, the result matches the in-memory path on a multi-hop chain,
+    and a stale checkpoint dir is refused."""
+    import os
+
+    import pytest
+    import ray
+
+    from h3ray.functions import dedup
+
+    # 6-hop chain: needs several propagation rounds -> several checkpoints
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+         "b": pa.array([2, 3, 4, 5, 6, 7], type=pa.int64())}
+    )
+    ckpt = tmp_path / "cc"
+    out = dedup.connected_components(
+        ray.data.from_arrow(pairs).repartition(3),
+        checkpoint_dir=str(ckpt),
+    ).to_pandas()
+    got = dict(zip(out["node"], out["cluster"]))
+    assert got == {n: 1 for n in range(1, 8)}
+    # only the final round's state survives on disk (bounded footprint)
+    rounds = sorted(p for p in os.listdir(ckpt) if p.startswith("round-"))
+    assert len(rounds) == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        dedup.connected_components(
+            ray.data.from_arrow(pairs), checkpoint_dir=str(ckpt))
+
+
 def test_fnv1a_outlier_skew_capped():
     """One huge document must not serialize the jagged FNV kernel: the byte
     loop is capped at FNV_BLOCK_CAP iterations; outliers go through the
