@@ -202,8 +202,11 @@ def tile_specs(shape, tile_size: int = 512):
 
 
 def tile_dataset(values: np.ndarray, transform: Transform, tile_size: int = 512):
-    """Raster -> Ray Dataset of tile rows {row0, col0, transform params,
-    values (binary)} — the scalable partitioning of raster work."""
+    """In-memory raster -> Ray Dataset of tile rows {row0, col0, transform
+    params, payload (binary)}.  Right for rasters that already fit on the
+    driver (the reference's single-array semantics, reference raster.py:88);
+    for anything bigger use :func:`tile_dataset_from_file`, whose rows
+    carry only (path, window) and read the payload inside the kernel."""
     import ray
 
     items = []
@@ -224,23 +227,73 @@ def tile_dataset(values: np.ndarray, transform: Transform, tile_size: int = 512)
     return ray.data.from_items(items)
 
 
+def tile_dataset_from_file(path: str, transform: Transform,
+                           tile_size: int = 512):
+    """File-backed tile specs: rows carry only (path, window, per-tile
+    transform) — the pixel payload is read INSIDE the map_batches kernel
+    via a memory-mapped window, so the raster never resides in driver
+    memory and a 100 TB mosaic is just a union of these datasets.
+
+    ``path`` is a ``.npy`` array file (self-describing shape/dtype;
+    ``np.load(mmap_mode='r')`` maps it without reading pixel data — the
+    driver touches only the header).  GeoTIFF and friends need a raster
+    IO library (rasterio/GDAL, not available in this environment): write
+    the windows with the same row layout and this pipeline is unchanged.
+    """
+    import ray
+
+    mm = np.load(path, mmap_mode="r")  # header-only on the driver
+    if mm.ndim != 2:
+        raise ValueError(f"expected a 2D raster in {path!r}, got {mm.shape}")
+    items = []
+    for (r0, c0, th, tw) in tile_specs(mm.shape, tile_size):
+        t = transform.offset(c0, r0)
+        items.append(
+            {
+                "path": path,
+                "row0": r0,
+                "col0": c0,
+                "h": th,
+                "w": tw,
+                "transform": [t.a, t.b, t.c, t.d, t.e, t.f],
+            }
+        )
+    return ray.data.from_items(items)
+
+
 def make_tile_kernel(h3_resolution: int, nodata_value=None, compact: bool = False):
-    """map_batches kernel: tile rows -> (value, cell) rows."""
+    """map_batches kernel: tile rows -> (value, cell) rows.
+
+    Accepts both row layouts: payload-carrying rows (binary pixels viewed
+    zero-copy through the Arrow buffer — no ``.as_py()`` byte copy) and
+    file-backed rows from :func:`tile_dataset_from_file` (the window is
+    sliced from a per-task memory map; only the window's pages are read).
+    The per-ROW loop is over tiles (hundreds of thousands of pixels each),
+    not pixels — the hot work inside ``raster_to_cells`` is vectorized."""
 
     def kernel(batch: pa.Table) -> pa.Table:
         vs = []
         cs = []
         hcol = "h" if "h" in batch.column_names else "height"
         wcol = "w" if "w" in batch.column_names else "width"
-        pcol = "payload" if "payload" in batch.column_names else "values"
+        pcol = "payload" if "payload" in batch.column_names else (
+            "values" if "values" in batch.column_names else None)
+        mmaps: dict = {}  # one mapping per distinct file per batch
         for i in range(batch.num_rows):
             t = Transform(*[float(x) for x in batch.column("transform")[i].as_py()])
             h = batch.column(hcol)[i].as_py()
             w = batch.column(wcol)[i].as_py()
-            dtype = batch.column("dtype")[i].as_py()
-            arr = np.frombuffer(
-                batch.column(pcol)[i].as_py(), dtype=np.dtype(dtype)
-            ).reshape(h, w)
+            if pcol is not None and batch.column(pcol)[i].is_valid:
+                dtype = batch.column("dtype")[i].as_py()
+                buf = batch.column(pcol)[i].as_buffer()  # zero-copy view
+                arr = np.frombuffer(buf, dtype=np.dtype(dtype)).reshape(h, w)
+            else:
+                path = batch.column("path")[i].as_py()
+                if path not in mmaps:
+                    mmaps[path] = np.load(path, mmap_mode="r")
+                r0 = batch.column("row0")[i].as_py()
+                c0 = batch.column("col0")[i].as_py()
+                arr = mmaps[path][r0 : r0 + h, c0 : c0 + w]
             v, c = raster_to_cells(arr, t, h3_resolution, nodata_value, compact=compact)
             vs.append(v)
             cs.append(c)

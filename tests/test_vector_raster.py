@@ -270,6 +270,25 @@ class TestRaster:
         tiled = np.sort(np.array([r["cell"] for r in out], dtype=np.uint64))
         assert np.array_equal(tiled, np.sort(c))
 
+    def test_tile_pipeline_file_backed(self, ray_session, tmp_path):
+        """File-backed tiles: rows carry only (path, window, transform) —
+        no pixel payload ever sits in a dataset row or on the driver —
+        and the result matches the whole-raster conversion exactly.
+        A mixed union with in-memory payload tiles also works (mosaic
+        of small + large rasters through one kernel)."""
+        import ray
+
+        p = str(tmp_path / "raster.npy")
+        np.save(p, self.arr)
+        ds = raster.tile_dataset_from_file(p, self.t, tile_size=40)
+        assert "payload" not in ds.schema().names  # specs only
+        out = ds.map_batches(
+            raster.make_tile_kernel(8), batch_format="pyarrow"
+        ).take_all()
+        tiled = np.sort(np.array([r["cell"] for r in out], dtype=np.uint64))
+        v, c = raster.raster_to_cells(self.arr, self.t, 8)
+        assert np.array_equal(tiled, np.sort(c))
+
     def test_rasterize_roundtrip(self):
         v, c = raster.raster_to_cells(self.arr, self.t, 8)
         img, t2 = raster.rasterize_cells(c, v, (100, 100))
