@@ -367,6 +367,110 @@ def run_flagship_sf1():
     return out
 
 
+def run_pip_scale():
+    """pip_salted at 1x and FACTORx the sf0.1 events table (default 10x,
+    H3RAY_PIP_SCALE_FACTOR to override): measures whether the sort-exchange
+    floor amortizes as the streamed side grows.  The FACTORx input is
+    synthesized deterministically (fragment k offsets event_id by k*1e7, so
+    coords differ per copy — no external data) and run through the IDENTICAL
+    pip_join_shuffle plan.  Prints one JSON line with rows/s at both scales."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from h3ray import join as join_mod
+    from h3ray.pipelines.queries import event_lat, event_lng
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_kernel, batch_format="pyarrow"
+    ).count()
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": pa.array(eid.astype(np.int64)),
+                "lat": pa.array(event_lat(eid)),
+                "lng": pa.array(event_lng(eid)),
+            }
+        )
+
+    def nation_to_rects(batch: pa.Table) -> pa.Table:
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat0 = ((nk * 11 % 140) - 70).astype(np.float64)
+        lng0 = ((nk * 29 % 340) - 170).astype(np.float64)
+        return pa.table(
+            {
+                "rect_id": pa.array(nk),
+                "lng0": pa.array(lng0),
+                "lat0": pa.array(lat0),
+                "lng1": pa.array(lng0 + 13),
+                "lat1": pa.array(lat0 + 9),
+            }
+        )
+
+    def run_once(events_path, n_points: int) -> float:
+        pds = ray.data.read_parquet(
+            events_path,
+            columns=["event_id"],
+            override_num_blocks=max(4, min(NUM_CPUS * 2, n_points // 50_000 + 1)),
+        ).map_batches(add_coords, batch_format="pyarrow", zero_copy_batch=True,
+                      batch_size=None)
+        rds = ray.data.read_parquet(
+            f"{SF_DIR}/nation.parquet", columns=["n_nationkey"]
+        ).map_batches(nation_to_rects, batch_format="pyarrow", zero_copy_batch=True)
+        t0 = time.perf_counter()
+        joined = join_mod.pip_join_shuffle(pds, rds, res=3, salt=4).count()
+        return time.perf_counter() - t0, joined
+
+    factor = int(os.environ.get("H3RAY_PIP_SCALE_FACTOR", "10"))
+    src = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_id"])
+    ids = src.column("event_id").to_numpy(zero_copy_only=False)
+    work = tempfile.mkdtemp(prefix="h3ray_pipscale_")
+    try:
+        big = os.path.join(work, "events")
+        os.makedirs(big)
+        for i in range(factor):
+            pq.write_table(
+                pa.table({"event_id": pa.array(ids + i * 10_000_000)}),
+                f"{big}/events-{i:03d}.parquet",
+            )
+        run_once(f"{SF_DIR}/events.parquet", len(src))  # untimed warm pass
+        results = {}
+        for label, path, n in (
+            ("1x", f"{SF_DIR}/events.parquet", len(src)),
+            (f"{factor}x", big, len(src) * factor),
+        ):
+            secs, joined = run_once(path, n)
+            results[label] = {
+                "points": n,
+                "joined_rows": joined,
+                "secs": round(secs, 3),
+                "rows_per_sec": round(n / secs),
+            }
+        lo = results["1x"]["rows_per_sec"]
+        hi = results[f"{factor}x"]["rows_per_sec"]
+        out = {
+            "metric": "pip_salted exchange-floor amortization",
+            "value": round(hi / lo, 2),
+            "unit": f"rows/s speedup at {factor}x input",
+            "scales": results,
+            "num_cpus": NUM_CPUS,
+            "sf": SF_DIR,
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ray.shutdown()
+    return out
+
+
 def _scaling_child(n_points: int):
     """Heavy fixed-size pipeline: synthesize points, encode res 12, disk
     k=1, parent aggregation.  Prints rows/sec."""
@@ -482,5 +586,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--flagship" in sys.argv:
         run_flagship_sf1()
+    elif "--pip-scale" in sys.argv:
+        run_pip_scale()
     else:
         run_bench()
