@@ -35,6 +35,11 @@ from .h3core import bits, faceijk
 # so the PIP join must accept every H3 resolution too.
 from .h3core.polyfill import _MAX_CIRCUMRADIUS_DEG, _MIN_INRADIUS_DEG
 
+# default peak element count of one dense point x rect membership block
+# inside a salted join group (~4 MB of bool); groups larger than this
+# evaluate in point-axis chunks (pip_join_shuffle's block_elems param)
+_JOIN_BLOCK_ELEMS = 4_000_000
+
 
 def rect_cover_cells(
     rect_ids: np.ndarray,
@@ -236,6 +241,7 @@ def pip_join_shuffle(
     lat_col: str = "lat",
     lng_col: str = "lng",
     point_id_col: str = "point_id",
+    block_elems: int = _JOIN_BLOCK_ELEMS,
 ):
     """Two-phase PIP join as a cell-keyed co-group shuffle.
 
@@ -332,15 +338,28 @@ def pip_join_shuffle(
         rl1 = rcs.column("lng1").to_numpy(zero_copy_only=False)
         ra1 = rcs.column("lat1").to_numpy(zero_copy_only=False)
         rid = rcs.column("rect_id").to_numpy(zero_copy_only=False)
-        hit = (
-            (plng[:, None] >= rl0[None, :])
-            & (plng[:, None] <= rl1[None, :])
-            & (plat[:, None] >= ra0[None, :])
-            & (plat[:, None] <= ra1[None, :])
-        )
-        pi, ri = np.nonzero(hit)
+        # chunk the point axis so the boolean membership block stays ~4M
+        # elements regardless of how hot the (cell, salt) group is — a
+        # pathological hot-cell x many-rects group must not allocate a
+        # dense P x R matrix in one piece
+        n_rects = len(rid)
+        chunk = max(1, block_elems // max(1, n_rects))
+        out_p = []
+        out_r = []
+        for s in range(0, len(pid), chunk):
+            e = s + chunk
+            hit = (
+                (plng[s:e, None] >= rl0[None, :])
+                & (plng[s:e, None] <= rl1[None, :])
+                & (plat[s:e, None] >= ra0[None, :])
+                & (plat[s:e, None] <= ra1[None, :])
+            )
+            pi, ri = np.nonzero(hit)
+            out_p.append(pid[s:e][pi])
+            out_r.append(rid[ri])
         return pa.table(
-            {point_id_col: pa.array(pid[pi]), "rect_id": pa.array(rid[ri])}
+            {point_id_col: pa.array(np.concatenate(out_p)),
+             "rect_id": pa.array(np.concatenate(out_r))}
         )
 
     pts_keyed = points_ds.map_batches(

@@ -581,6 +581,15 @@ def test_shuffle_join_equals_broadcast(ray_session):
     ).take_all()
     got = sorted((r["point_id"], r["rect_id"]) for r in out)
     assert got == ref_pairs
+    # hot-group memory bound: with the dense-block budget shrunk to 8
+    # elements every group evaluates in many point-axis chunks — results
+    # must be identical (exercises the chunk boundaries)
+    out2 = join_mod.pip_join_shuffle(
+        ray.data.from_arrow(pts).repartition(4),
+        ray.data.from_arrow(rects).repartition(2), res=3, salt=3,
+        block_elems=8,
+    ).take_all()
+    assert sorted((r["point_id"], r["rect_id"]) for r in out2) == ref_pairs
 
 
 def test_distributed_dissolve_equals_local(ray_session):
