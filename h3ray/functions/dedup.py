@@ -203,6 +203,179 @@ def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
     return inter / union if union else 0.0
 
 
+def _unique_per_segment(flat: np.ndarray, off: np.ndarray):
+    """Sorted-unique values per contiguous segment: returns (values,
+    row_ids, per-segment unique counts).  One lexsort + one adjacency
+    mask — no per-segment Python."""
+    ndoc = len(off) - 1
+    rows = np.repeat(np.arange(ndoc, dtype=np.int64), np.diff(off))
+    order = np.lexsort((flat, rows))
+    f = flat[order]
+    r = rows[order]
+    keep = np.ones(len(f), dtype=bool)
+    if len(f) > 1:
+        keep[1:] = (f[1:] != f[:-1]) | (r[1:] != r[:-1])
+    f = f[keep]
+    r = r[keep]
+    return f, r, np.bincount(r, minlength=ndoc)
+
+
+def jaccard_pairs(batch: pa.Table, a_col: str = "text_a",
+                  b_col: str = "text_b", shingle: int = 5) -> pa.Table:
+    """EXACT character-n-gram Jaccard for a batch of text pairs — the
+    verification kernel applied to LSH/SimHash candidate pairs (MinHash
+    only *estimates* Jaccard; candidates above threshold are confirmed
+    here before anything is dropped).
+
+    Fully vectorized: both columns shingle through the flat-buffer kernel,
+    per-row shingle SETS come from one lexsort+adjacency pass each, and
+    the per-row intersection is counted by sorting the two sides together
+    and counting cross-side adjacent equal (row, hash) runs.  Appends
+    int64 ``inter`` / ``union_size`` and float64 ``jaccard`` (== scalar
+    ``jaccard()`` per row; ints are the oracle-stable columns)."""
+    n = len(batch)
+    if n == 0:
+        out = batch.append_column("inter", pa.array([], type=pa.int64()))
+        out = out.append_column("union_size", pa.array([], type=pa.int64()))
+        return out.append_column("jaccard", pa.array([], type=pa.float64()))
+    fa, offa = _shingles_flat(batch.column(a_col), shingle)
+    fb, offb = _shingles_flat(batch.column(b_col), shingle)
+    ua, ra, na = _unique_per_segment(fa, offa)
+    ub, rb, nb = _unique_per_segment(fb, offb)
+    allf = np.concatenate([ua, ub])
+    allr = np.concatenate([ra, rb])
+    tag = np.concatenate(
+        [np.zeros(len(ua), dtype=np.int8), np.ones(len(ub), dtype=np.int8)]
+    )
+    order = np.lexsort((tag, allf, allr))
+    F = allf[order]
+    R = allr[order]
+    T = tag[order]
+    # each side is unique per row, so a shared hash appears as exactly one
+    # adjacent cross-tag pair within the row
+    dup = (F[1:] == F[:-1]) & (R[1:] == R[:-1]) & (T[1:] != T[:-1])
+    inter = np.bincount(R[1:][dup], minlength=n)
+    union = na + nb - inter
+    jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    out = batch.append_column("inter", pa.array(inter.astype(np.int64)))
+    out = out.append_column("union_size", pa.array(union.astype(np.int64)))
+    return out.append_column("jaccard", pa.array(jac))
+
+
+def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
+                 doc_col: str = "doc_id", a_col: str = "a", b_col: str = "b",
+                 threshold: float = 0.0, shingle: int = 5):
+    """Distributed exact-Jaccard verification of candidate pairs — the
+    stage the LSH pipelines hand their (a, b) candidates to.
+
+    Text attach is TWO cell-keyed groupby scatters (pairs ∪ docs keyed by
+    ``a``, then by ``b``), not a Dataset join: the groupby exchange moves
+    the same bytes without the join aggregator's spin-up cost, and it
+    reuses the engine's one partitioning primitive.  Each group holds at
+    most one doc row (doc ids unique) plus that doc's candidate pairs;
+    pairs referencing a missing doc id are dropped.  Then one vectorized
+    ``jaccard_pairs`` pass filters to ``jaccard >= threshold``.
+
+    Returns (a, b, inter, union_size, jaccard) — ints are exact set
+    cardinalities; at 100 TB both scatters shuffle |pairs| + |docs| rows,
+    no all-pairs blowup and nothing on the driver."""
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(a),
+                "other": pa.array(b),
+                "payload": pa.array([None] * len(a), type=pa.large_string()),
+                "is_doc": pa.array(np.zeros(len(a), dtype=np.bool_)),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        d = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(d),
+                "other": pa.array(np.zeros(len(d), dtype=np.int64)),
+                "payload": batch.column(text_col).cast(pa.large_string()),
+                "is_doc": pa.array(np.ones(len(d), dtype=np.bool_)),
+            }
+        )
+
+    def attach(out_names):
+        key_out, other_out, text_out, carry = out_names
+
+        def k(batch: pa.Table) -> pa.Table:
+            is_doc = batch.column("is_doc").to_numpy(zero_copy_only=False)
+            docs = batch.filter(pa.array(is_doc))
+            pairs = batch.filter(pa.array(~is_doc))
+            if docs.num_rows == 0 or pairs.num_rows == 0:
+                return pa.table(
+                    {key_out: pa.array([], type=pa.int64()),
+                     other_out: pa.array([], type=pa.int64()),
+                     text_out: pa.array([], type=pa.large_string()),
+                     **({carry: pa.array([], type=pa.large_string())}
+                        if carry else {})}
+                )
+            text = docs.column("payload")[0]
+            cols = {
+                key_out: pairs.column("key"),
+                other_out: pairs.column("other"),
+                text_out: pa.array([text.as_py()] * pairs.num_rows,
+                                   type=pa.large_string()),
+            }
+            if carry:
+                cols[carry] = pairs.column("carry")
+            return pa.table(cols)
+
+        return k
+
+    docs_keyed = docs_ds.map_batches(doc_rows, batch_format="pyarrow")
+    stage1 = (
+        pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
+        .union(docs_keyed)
+        .groupby("key")
+        .map_groups(attach(("a_id", "b_id", "text_a", None)),
+                    batch_format="pyarrow")
+    )
+
+    # re-key by b, carrying text_a through the second scatter
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("b_id"),
+                "other": batch.column("a_id"),
+                "payload": pa.array(
+                    [None] * batch.num_rows, type=pa.large_string()),
+                "is_doc": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.bool_)),
+                "carry": batch.column("text_a"),
+            }
+        )
+
+    def add_carry(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "carry", pa.array([None] * batch.num_rows, type=pa.large_string())
+        )
+
+    stage2 = (
+        stage1.map_batches(rekey, batch_format="pyarrow")
+        .union(docs_keyed.map_batches(add_carry, batch_format="pyarrow"))
+        .groupby("key")
+        .map_groups(attach(("b", "a", "text_b", "text_a")),
+                    batch_format="pyarrow")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = jaccard_pairs(batch, "text_a", "text_b", shingle)
+        jac = t.column("jaccard").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(jac >= threshold))
+        return t.select(["a", "b", "inter", "union_size", "jaccard"])
+
+    return stage2.map_batches(score, batch_format="pyarrow")
+
+
 def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
                            k=64, threshold=0.7):
     """Full near-dup pipeline: signatures -> band buckets -> groupby ->

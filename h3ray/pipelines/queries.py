@@ -560,6 +560,66 @@ def q_minhash_pairs(sf_dir: str):
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
+_JACCARD_TAIL = " planted near duplicate tail for jaccard verification"
+
+
+def q_jaccard_verify(sf_dir: str):
+    """Value-oracled EXACT n-gram Jaccard verification (the verify tier of
+    the LSH dedup pipelines, run here over a deterministic candidate set
+    so SQL can reproduce it): every doc with doc_id %% 10 == 0 gets a
+    planted NEAR-duplicate (same text + a fixed tail) at doc_id + 1000000;
+    candidates are (d, d+1000000) near-pairs plus (d, d+10) unrelated
+    control pairs (d < 490 so both ends exist at every sf).  verify_pairs
+    attaches both texts via groupby scatters and computes exact 5-gram set
+    intersection/union per pair — the corpus is pure ASCII, so the byte
+    5-gram hash sets match SQL's DISTINCT substring(text, i, 5) sets
+    cardinality-for-cardinality.  Output: (a, b, inter, union_size) ints."""
+    import pyarrow.compute as pc
+
+    from ..functions import dedup as dedup_fns
+
+    def docs_with_near_dups(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dup = batch.filter(pa.array(ids % 10 == 0))
+        dup = dup.set_column(
+            dup.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(dup.column("doc_id"), 1000000),
+        )
+        dup = dup.set_column(
+            dup.schema.get_field_index("text"),
+            "text",
+            pc.binary_join_element_wise(
+                dup.column("text"), pa.scalar(_JACCARD_TAIL), ""
+            ),
+        )
+        return pa.concat_tables([batch, dup])
+
+    def mk_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = ids[ids % 10 == 0]
+        ctrl = sel[sel < 490]
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([sel, ctrl])),
+                "b": pa.array(np.concatenate([sel + 1000000, ctrl + 10])),
+            }
+        )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(docs_with_near_dups, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    pairs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(mk_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    out = dedup_fns.verify_pairs(pairs, docs, threshold=0.0)
+    return out.map_batches(
+        lambda b: b.select(["a", "b", "inter", "union_size"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_doc_chunks(sf_dir: str):
     """Value-oracled document chunking (the standard LLM pre-tokenization
     window split): fixed 200-char chunks with 20-char overlap, exploded
@@ -1117,6 +1177,7 @@ QUERIES.update(
         "lang_quality": q_lang_quality,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
+        "jaccard_verify": q_jaccard_verify,
         "simhash_bands": q_simhash_bands,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_top1": q_ann_top1,
@@ -1862,6 +1923,45 @@ ORACLE_SQL.update(
             SELECT a.doc_id AS a, b.doc_id AS b
             FROM docs2 a JOIN docs2 b
               ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "jaccard_verify": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     text || ' planted near duplicate tail for jaccard verification' AS text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            pairs AS (
+              SELECT doc_id AS a, doc_id + 1000000 AS b
+              FROM documents WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id AS a, doc_id + 10 AS b
+              FROM documents WHERE doc_id % 10 = 0 AND doc_id < 490
+            ),
+            grams AS (
+              SELECT doc_id, substring(text, CAST(i AS INTEGER), 5) AS g
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, length(text) - 3)) AS i
+                    FROM docs2)
+              GROUP BY 1, 2
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+            inter AS (
+              SELECT p.a, p.b, COUNT(*) AS inter
+              FROM pairs p
+              JOIN grams ga ON ga.doc_id = p.a
+              JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+              GROUP BY 1, 2
+            )
+            SELECT p.a, p.b,
+                   CAST(COALESCE(i.inter, 0) AS BIGINT) AS inter,
+                   CAST(ca.n + cb.n - COALESCE(i.inter, 0) AS BIGINT)
+                       AS union_size
+            FROM pairs p
+            JOIN counts ca ON ca.doc_id = p.a
+            JOIN counts cb ON cb.doc_id = p.b
+            LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
         """,
         "simhash_bands": _PLANTED_SQL + """
             SELECT doc_id,

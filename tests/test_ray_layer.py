@@ -476,6 +476,74 @@ def test_connected_components_chain(ray_session):
     assert got == expect
 
 
+def test_jaccard_pairs_matches_scalar():
+    """The vectorized exact-Jaccard batch kernel is value-identical to the
+    per-pair scalar (unique-set semantics, short/empty texts, identical
+    texts, disjoint texts)."""
+    from h3ray.functions import dedup
+
+    a = ["the quick brown fox jumps over the lazy dog",
+         "the quick brown fox jumps over the lazy cat",
+         "aaaaaaaaaa", "xy", "", "hello world hello world"]
+    b = ["the quick brown fox jumps over the lazy dog",
+         "a completely different sentence with no overlap",
+         "aaaaaaaaab", "xy", "", "hello world"]
+    t = pa.table({"text_a": pa.array(a, type=pa.large_string()),
+                  "text_b": pa.array(b, type=pa.large_string())})
+    out = dedup.jaccard_pairs(t)
+    for i in range(len(a)):
+        expect = dedup.jaccard(a[i], b[i])
+        got = out.column("jaccard")[i].as_py()
+        assert abs(got - expect) < 1e-12, (i, got, expect)
+    assert out.column("jaccard")[0].as_py() == 1.0
+    # int columns are consistent: jaccard == inter / union
+    inter = out.column("inter").to_pylist()
+    union = out.column("union_size").to_pylist()
+    assert all(u >= i_ >= 0 for i_, u in zip(inter, union))
+
+
+def test_verify_pairs_distributed(ray_session):
+    """verify_pairs attaches both texts via groupby scatters and returns
+    exact Jaccard per candidate pair; pairs referencing missing doc ids
+    are dropped; threshold filters."""
+    import ray
+
+    from h3ray.functions import dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(
+            ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy dog",
+             "a completely different document body here",
+             "the quick brown fox jumps over the lazy cat"],
+            type=pa.large_string()),
+    })
+    pairs = pa.table({
+        "a": pa.array([1, 1, 1, 99], type=pa.int64()),
+        "b": pa.array([2, 3, 4, 1], type=pa.int64()),
+    })
+    out = dedup.verify_pairs(
+        ray.data.from_arrow(pairs).repartition(2),
+        ray.data.from_arrow(docs).repartition(2),
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    # (99, 1) dropped: doc 99 does not exist
+    assert list(zip(out["a"], out["b"])) == [(1, 2), (1, 3), (1, 4)]
+    assert out["jaccard"][0] == 1.0  # identical texts
+    exp_13 = dedup.jaccard(docs.column("text")[0].as_py(),
+                           docs.column("text")[2].as_py())
+    exp_14 = dedup.jaccard(docs.column("text")[0].as_py(),
+                           docs.column("text")[3].as_py())
+    assert abs(out["jaccard"][1] - exp_13) < 1e-12
+    assert abs(out["jaccard"][2] - exp_14) < 1e-12
+    # threshold path
+    kept = dedup.verify_pairs(
+        ray.data.from_arrow(pairs), ray.data.from_arrow(docs),
+        threshold=0.9,
+    ).to_pandas()
+    assert list(zip(kept["a"], kept["b"])) == [(1, 2)]
+
+
 def test_connected_components_checkpointed(ray_session, tmp_path):
     """The 100 TB path: per-round state goes through parquet checkpoints
     (no object-store materialize), older rounds are pruned to keep disk
