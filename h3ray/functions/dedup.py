@@ -397,6 +397,25 @@ def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
     return pairs
 
 
+def minhash_dedup_verified(ds, text_col="text", doc_col="doc_id", bands=16,
+                           k=64, threshold=0.7, shingle=5):
+    """End-to-end near-dup pipeline: MinHash-LSH candidates -> distinct ->
+    EXACT n-gram Jaccard verification >= threshold.
+
+    The candidate tier (``minhash_dedup_pipeline``) has recall < 1 for
+    borderline pairs but near-1 precision after this verify tier: a pair
+    survives only if its true shingle-set Jaccard clears ``threshold``.
+    The distinct step is one (a, b) groupby — a pair found in several
+    band buckets must verify (and ship its texts) once, not once per
+    bucket.  ``ds`` is consumed twice (signatures + text attach); pass a
+    checkpointed/parquet-backed dataset when upstream is expensive.
+    Returns (a, b, inter, union_size, jaccard)."""
+    cand = minhash_dedup_pipeline(ds, text_col, doc_col, bands, k)
+    distinct = cand.groupby(["a", "b"]).count().drop_columns(["count()"])
+    return verify_pairs(distinct, ds, text_col=text_col, doc_col=doc_col,
+                        threshold=threshold, shingle=shingle)
+
+
 def simhash_signatures(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash over token hashes (bit-vote), fully vectorized:
     Arrow lower+split for tokens, jagged FNV-1a over the flat token buffer,

@@ -544,6 +544,38 @@ def test_verify_pairs_distributed(ray_session):
     assert list(zip(kept["a"], kept["b"])) == [(1, 2)]
 
 
+def test_minhash_dedup_verified_end_to_end(ray_session):
+    """LSH candidates -> distinct -> exact-Jaccard verify: planted
+    near-dups (small edit) survive, unrelated docs never appear, and the
+    reported jaccard matches the scalar kernel."""
+    import ray
+
+    from h3ray.functions import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(
+            [base, base + " again",
+             "completely unrelated content about parquet shuffles and "
+             "arrow buffers in a distributed dataflow engine",
+             base + " again!"],
+            type=pa.large_string()),
+    })
+    out = dedup.minhash_dedup_verified(
+        ray.data.from_arrow(docs).repartition(2), threshold=0.7,
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    got = set(zip(out["a"], out["b"]))
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert all(2 not in p for p in got)
+    for _, r in out.iterrows():
+        expect = dedup.jaccard(docs.column("text")[int(r["a"])].as_py(),
+                               docs.column("text")[int(r["b"])].as_py())
+        assert abs(r["jaccard"] - expect) < 1e-12
+        assert r["jaccard"] >= 0.7
+
+
 def test_connected_components_checkpointed(ray_session, tmp_path):
     """The 100 TB path: per-round state goes through parquet checkpoints
     (no object-store materialize), older rounds are pruned to keep disk
