@@ -152,6 +152,84 @@ class MediaDecoder:
         )
 
 
+class FrameSampler:
+    """Actor-pool stage: uniform frame sampling from (fake-encoded) video
+    payloads — the frame-sample step of a video ingestion pipeline.
+
+    Layout contract: a payload of ``n_frames`` frames stores frame j in
+    the byte window [j*L // n, (j+1)*L // n) of its L-byte payload (equal
+    slices, floor boundaries — what a fixed-rate raw stream looks like; a
+    real container's codec seek index would be loaded once per actor HERE
+    in ``__init__``).  Uniformly samples ``m`` frames: indices
+    (k * n) // s for k < s, s = min(m, n) — every frame when n <= m.
+
+    Emits one row per sampled frame: (ref_col, frame_idx, n_frames,
+    frame_len, frame_payload).  Fully vectorized: explode via
+    repeat/arange segments and ONE fancy-index gather over the batch's
+    flat payload buffer; zero-length frames (L < n_frames) are fine."""
+
+    def __init__(self, m: int = 4, payload_col: str = "payload",
+                 nframes_col: str = "n_frames", ref_col: str = "media_ref"):
+        if m < 1:
+            raise ValueError("m must be >= 1")
+        self.m = m
+        self.payload_col = payload_col
+        self.nframes_col = nframes_col
+        self.ref_col = ref_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ._strkern import utf8_view
+
+        data, off = utf8_view(batch.column(self.payload_col))
+        n = batch.column(self.nframes_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        L = np.diff(off)
+        s = np.minimum(self.m, np.maximum(n, 0))  # rows with n <= 0: no frames
+        rows = np.repeat(np.arange(len(batch), dtype=np.int64), s)
+        total = int(s.sum())
+        k = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(s) - s, s)
+        nn = n[rows]
+        ss = s[rows]
+        idx = (k * nn) // np.maximum(ss, 1)
+        Lr = L[rows]
+        fs = off[:-1][rows] + (idx * Lr) // np.maximum(nn, 1)
+        fe = off[:-1][rows] + ((idx + 1) * Lr) // np.maximum(nn, 1)
+        flen = fe - fs
+        out_off = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(flen, out=out_off[1:])
+        gather = np.repeat(fs, flen) + (
+            np.arange(int(out_off[-1]), dtype=np.int64)
+            - np.repeat(out_off[:-1], flen)
+        )
+        payload = pa.Array.from_buffers(
+            pa.large_binary(), total,
+            [None, pa.py_buffer(out_off.tobytes()),
+             pa.py_buffer(data[gather].tobytes())],
+        )
+        return pa.table(
+            {
+                self.ref_col: batch.column(self.ref_col).take(pa.array(rows)),
+                "frame_idx": pa.array(idx),
+                "n_frames": pa.array(nn),
+                "frame_len": pa.array(flen),
+                "frame_payload": payload,
+            }
+        )
+
+
+def frame_sample_pipeline(ds, m: int = 4, concurrency: int = 4,
+                          batch_size: int = 64):
+    """videos -> sampled frame rows (actor pool; small batches — payloads
+    are large and explode by up to m per row)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"m": m},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+
+
 def media_pipeline(ds, mode: str = "fake", concurrency: int = 4, batch_size: int = 64):
     """documents-with-media-refs -> decoded feature rows (actor pool).
 

@@ -946,6 +946,37 @@ def q_media_refs(sf_dir: str):
     )
 
 
+def q_frame_sample(sf_dir: str):
+    """Value-oracled frame sampling: every doc's image media ref becomes a
+    fake video of 3 + doc_id %% 6 frames; FrameSampler(m=4) explodes it to
+    uniformly sampled frame rows.  (media_ref, frame_idx, n_frames) are
+    pure integer formulas the SQL twin reproduces; the byte-level slicing
+    (frame windows, gather, full-cover concat) is pytest-anchored
+    (test_frame_sampler)."""
+    import pyarrow.compute as pc
+
+    from ..functions import multimodal
+
+    def mk_videos(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        refs = pc.binary_join_element_wise(
+            "media:/", batch.column("source").cast(pa.string()),
+            pa.compute.cast(batch.column("doc_id"), pa.string()), "0", "/"
+        )
+        t = multimodal.synthesize_media(pa.table({"media_ref": refs}))
+        return t.append_column("n_frames", pa.array(3 + did % 6))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(mk_videos, batch_format="pyarrow", zero_copy_batch=True)
+    out = multimodal.frame_sample_pipeline(ds, m=4, concurrency=2,
+                                           batch_size=256)
+    return out.map_batches(
+        lambda b: b.select(["media_ref", "frame_idx", "n_frames"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_polyfill_rects(sf_dir: str):
     """Value-oracled centroid-mode polyfill of the nation rectangles at
     res 4: the containment-mode invariants — every returned cell is
@@ -1185,6 +1216,7 @@ QUERIES.update(
         "ann_ivf": q_ann_ivf,
         "media_features": q_media_features,
         "media_refs": q_media_refs,
+        "frame_sample": q_frame_sample,
         "polyfill_rects": q_polyfill_rects,
         "hull_centroid": q_hull_centroid,
         "localij": q_localij,
@@ -1918,6 +1950,19 @@ ORACLE_SQL.update(
                    CAST(30 AS BIGINT) AS sum_d,
                    CAST(49 AS BIGINT) AS n_path_cells
             FROM events
+        """,
+        "frame_sample": """
+            WITH media AS (
+              SELECT 'media://' || source || '/' || CAST(doc_id AS VARCHAR)
+                         || '/0' AS media_ref,
+                     3 + doc_id % 6 AS n
+              FROM documents
+            )
+            SELECT media_ref,
+                   CAST((k * n) // LEAST(4, n) AS BIGINT) AS frame_idx,
+                   CAST(n AS BIGINT) AS n_frames
+            FROM (SELECT media_ref, n, unnest(range(LEAST(4, n))) AS k
+                  FROM media)
         """,
         "minhash_pairs": _PLANTED_SQL + """
             SELECT a.doc_id AS a, b.doc_id AS b

@@ -175,6 +175,56 @@ def test_media_actor_pool(ray_session):
         multimodal.MediaDecoder(mode="strict")._decode(b"x", "image")
 
 
+def test_frame_sampler(ray_session):
+    """FrameSampler: vectorized output matches a scalar slice-by-slice
+    reference on every row (n <= m takes all frames, m < n uniform
+    indices, zero-length frames when L < n_frames, concat of ALL frames
+    reproduces the payload)."""
+    import ray
+
+    from h3ray.functions import multimodal
+
+    rng = np.random.default_rng(5)
+    refs, payloads, nframes = [], [], []
+    for i in range(30):
+        refs.append(f"media://web/{i}/2")
+        payloads.append(bytes(rng.integers(0, 256, size=rng.integers(2, 400),
+                                           dtype=np.uint8)))
+        nframes.append(int(rng.integers(1, 12)))
+    t = pa.table({
+        "media_ref": pa.array(refs),
+        "payload": pa.array(payloads, type=pa.large_binary()),
+        "n_frames": pa.array(nframes, type=pa.int64()),
+    })
+    m = 4
+    out = multimodal.FrameSampler(m=m)(t)
+    got = {}
+    for i in range(out.num_rows):
+        got.setdefault(out.column("media_ref")[i].as_py(), []).append(
+            (out.column("frame_idx")[i].as_py(),
+             out.column("frame_payload")[i].as_py()))
+    for r, payload, n in zip(refs, payloads, nframes):
+        L = len(payload)
+        s = min(m, n)
+        expect = []
+        for k in range(s):
+            j = (k * n) // s
+            expect.append((j, payload[(j * L) // n:((j + 1) * L) // n]))
+        assert got[r] == expect, r
+    # full-cover invariant: with m >= max(n), concatenated frames == payload
+    full = multimodal.FrameSampler(m=16)(t)
+    cat = {}
+    for i in range(full.num_rows):
+        r = full.column("media_ref")[i].as_py()
+        cat[r] = cat.get(r, b"") + full.column("frame_payload")[i].as_py()
+    for r, payload in zip(refs, payloads):
+        assert cat[r] == payload
+    # actor-pool path runs end to end
+    rows = multimodal.frame_sample_pipeline(
+        ray.data.from_arrow(t), m=m, concurrency=2, batch_size=8).count()
+    assert rows == sum(min(m, n) for n in nframes)
+
+
 def test_corpus_span_invariant():
     from h3ray import corpus
 
