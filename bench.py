@@ -415,7 +415,7 @@ def run_pip_scale():
             }
         )
 
-    def run_once(events_path, n_points: int) -> float:
+    def run_once(events_path, n_points: int) -> tuple:
         pds = ray.data.read_parquet(
             events_path,
             columns=["event_id"],
@@ -467,7 +467,7 @@ def run_pip_scale():
         print(json.dumps(out))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    ray.shutdown()
+        ray.shutdown()  # a failed sweep must not leave plasma pages behind
     return out
 
 

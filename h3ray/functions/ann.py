@@ -186,17 +186,19 @@ def ivf_topk(ds, query_ids, query_matrix, centroids: np.ndarray, k: int = 10,
 
     import os
 
+    from ._util import require_fresh_dir
+
     transient = index_dir is None
     if transient:
         index_dir = tempfile.mkdtemp(prefix="h3ray_ivf_tmp_")
-    elif os.path.isdir(index_dir) and os.listdir(index_dir):
+    else:
         # a reused dir would accumulate stale bucket files beside the new
         # build and the glob would read every vector twice (or vectors
         # from a prior dataset) — refuse rather than silently corrupt
-        raise ValueError(
-            f"index_dir {index_dir!r} is not empty; ivf_topk builds a fresh "
-            "transient index there — use ivf_build + ivf_topk_partitioned "
-            "to persist and reuse an index"
+        require_fresh_dir(
+            index_dir,
+            "ivf_topk builds a fresh transient index; use ivf_build + "
+            "ivf_topk_partitioned to persist and reuse an index",
         )
     try:
         ivf_build(ds, np.asarray(centroids, dtype=np.float64), index_dir, emb_col)

@@ -287,7 +287,7 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
             {
                 "key": pa.array(a),
                 "other": pa.array(b),
-                "payload": pa.array([None] * len(a), type=pa.large_string()),
+                "payload": pa.nulls(len(a), type=pa.large_string()),
                 "is_doc": pa.array(np.zeros(len(a), dtype=np.bool_)),
             }
         )
@@ -318,12 +318,15 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
                      **({carry: pa.array([], type=pa.large_string())}
                         if carry else {})}
                 )
-            text = docs.column("payload")[0]
+            # broadcast the group's single doc text with a zero-index take
+            # (no .as_py() round-trip / Python list in the group path)
+            text_bcast = docs.column("payload").take(
+                pa.array(np.zeros(pairs.num_rows, dtype=np.int64))
+            )
             cols = {
                 key_out: pairs.column("key"),
                 other_out: pairs.column("other"),
-                text_out: pa.array([text.as_py()] * pairs.num_rows,
-                                   type=pa.large_string()),
+                text_out: text_bcast,
             }
             if carry:
                 cols[carry] = pairs.column("carry")
@@ -346,8 +349,7 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
             {
                 "key": batch.column("b_id"),
                 "other": batch.column("a_id"),
-                "payload": pa.array(
-                    [None] * batch.num_rows, type=pa.large_string()),
+                "payload": pa.nulls(batch.num_rows, type=pa.large_string()),
                 "is_doc": pa.array(
                     np.zeros(batch.num_rows, dtype=np.bool_)),
                 "carry": batch.column("text_a"),
@@ -356,7 +358,7 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
 
     def add_carry(batch: pa.Table) -> pa.Table:
         return batch.append_column(
-            "carry", pa.array([None] * batch.num_rows, type=pa.large_string())
+            "carry", pa.nulls(batch.num_rows, type=pa.large_string())
         )
 
     stage2 = (
@@ -377,13 +379,14 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
 
 
 def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
-                           k=64, threshold=0.7):
-    """Full near-dup pipeline: signatures -> band buckets -> groupby ->
-    candidate pairs (distinct).  Returns a Dataset of (a, b) pairs; exact
-    Jaccard verification happens in ``verify_pairs`` (needs a text lookup
-    side)."""
+                           k=64, shingle=5):
+    """Candidate tier of the near-dup pipeline: signatures -> band buckets
+    -> groupby -> candidate pairs.  Returns a Dataset of (a, b) pairs;
+    exact Jaccard verification (with its own threshold) happens in
+    ``verify_pairs`` — use ``minhash_dedup_verified`` for the composed
+    pipeline.  ``shingle`` is the n-gram size used for the signatures."""
     sigs = ds.map_batches(
-        lambda b: minhash_signatures(b, text_col, k),
+        lambda b: minhash_signatures(b, text_col, k, shingle),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -410,7 +413,7 @@ def minhash_dedup_verified(ds, text_col="text", doc_col="doc_id", bands=16,
     bucket.  ``ds`` is consumed twice (signatures + text attach); pass a
     checkpointed/parquet-backed dataset when upstream is expensive.
     Returns (a, b, inter, union_size, jaccard)."""
-    cand = minhash_dedup_pipeline(ds, text_col, doc_col, bands, k)
+    cand = minhash_dedup_pipeline(ds, text_col, doc_col, bands, k, shingle)
     distinct = cand.groupby(["a", "b"]).count().drop_columns(["count()"])
     return verify_pairs(distinct, ds, text_col=text_col, doc_col=doc_col,
                         threshold=threshold, shingle=shingle)
@@ -599,16 +602,12 @@ def embedding_dedup_pipeline(ds, emb_col: str = "embedding",
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
     if checkpoint_dir is not None:
-        import os
+        from ._util import require_fresh_dir
 
-        if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
-            # same guard as ann.ivf_build: stale parquet from a prior run
-            # would silently merge into this run's bucketized rows
-            raise ValueError(
-                f"checkpoint_dir {checkpoint_dir!r} exists and is non-empty; "
-                "pass a fresh directory (stale checkpoints would corrupt "
-                "the bucket join)"
-            )
+        require_fresh_dir(
+            checkpoint_dir,
+            "stale checkpoints would silently merge into the bucket join",
+        )
         buckets.write_parquet(checkpoint_dir)
         buckets = ray.data.read_parquet(checkpoint_dir)
     counts = buckets.groupby("bucket").count().take_all()  # <= 2^planes rows
@@ -738,12 +737,16 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
     (2|E| + |V| rows) in the object store.  With ``checkpoint_dir`` set —
     the 100 TB path — each round is written to
     ``checkpoint_dir/round-NNN`` parquet and the next round streams from
-    disk, so no round's state is ever pinned in object-store memory and a
-    killed run can be restarted cheaply; the previous round's directory is
-    deleted once the new one is durable (disk use is bounded at ~2 rounds
-    of state).  The dir must be fresh (non-empty raises).  The RETURNED
-    Dataset lazily reads the final round's checkpoint, so the caller must
-    consume it before removing ``checkpoint_dir`` (caller owns cleanup).
+    disk, so no round's state is ever pinned in object-store memory; the
+    previous round's directory is deleted once the new one is durable
+    (disk use is bounded at ~2 rounds of state).  A KILLED RUN RESUMES:
+    calling again with the same dir picks up from the latest surviving
+    ``round-NNN`` checkpoint (the state rows fully describe progress, so
+    the seed datasets are not re-read) and runs up to ``max_iters`` more
+    rounds.  A non-empty dir with anything other than round checkpoints
+    raises.  The RETURNED Dataset lazily reads the final round's
+    checkpoint, so the caller must consume it before removing
+    ``checkpoint_dir`` (caller owns cleanup).
 
     Raises RuntimeError if the label-sum fixpoint is not OBSERVED within
     ``max_iters`` rounds (observation needs one quiet round, so a graph of
@@ -789,21 +792,33 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
             pa.array(np.full(len(lab), m, dtype=np.int64)),
         )
 
+    start_round = 0
+    prev_round_dir = None
     if checkpoint_dir is not None:
         import os
         import shutil
 
-        if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
-            raise ValueError(
-                f"checkpoint_dir {checkpoint_dir!r} exists and is non-empty; "
-                "pass a fresh directory (stale round state would corrupt "
-                "the label propagation)"
-            )
+        entries = sorted(os.listdir(checkpoint_dir)) \
+            if os.path.isdir(checkpoint_dir) else []
+        if entries:
+            rounds = [e for e in entries if e.startswith("round-")]
+            if rounds != entries:
+                raise ValueError(
+                    f"checkpoint_dir {checkpoint_dir!r} contains non-round "
+                    "entries; pass a fresh directory or one left by a "
+                    "killed connected_components run"
+                )
+            # resume: the latest round's state fully describes progress
+            prev_round_dir = os.path.join(checkpoint_dir, rounds[-1])
+            state = ray.data.read_parquet(prev_round_dir)
+            start_round = int(rounds[-1].split("-")[1]) + 1
+            for stale in rounds[:-1]:
+                shutil.rmtree(os.path.join(checkpoint_dir, stale),
+                              ignore_errors=True)
 
     prev_sum = None
-    prev_round_dir = None
     converged = False
-    for it in range(max_iters):
+    for it in range(start_round, start_round + max_iters):
         state = (
             state.groupby("node").map_groups(scatter_min, batch_format="pyarrow")
             .groupby(["ea", "eb"]).map_groups(scatter_min, batch_format="pyarrow")

@@ -43,8 +43,17 @@ def hash_sample(batch: pa.Table, rate, key_col: str = "doc_id",
     negatives outright so engine and oracle can never silently diverge.
     """
     keys_signed = batch.column(key_col).to_numpy(zero_copy_only=False)
-    if np.issubdtype(keys_signed.dtype, np.signedinteger) and keys_signed.size \
-            and int(keys_signed.min()) < 0:
+    if np.issubdtype(keys_signed.dtype, np.floating) and keys_signed.size:
+        # an int column with nulls arrives as float64 + NaN; NaN->uint64 is
+        # platform-undefined, so sampling would be silently nondeterministic
+        if np.isnan(keys_signed).any():
+            raise ValueError(
+                f"hash_sample key column {key_col!r} contains nulls/NaN; "
+                "keys must be non-null integers"
+            )
+    if keys_signed.size and not np.issubdtype(keys_signed.dtype,
+                                              np.unsignedinteger) \
+            and keys_signed.min() < 0:
         raise ValueError(
             f"hash_sample key column {key_col!r} contains negative values; "
             "keys must be non-negative (uint64 wraparound would diverge "

@@ -72,17 +72,28 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 
 def _column_row_hashes(col) -> np.ndarray:
-    """uint64 hash per row of one column, fully vectorized (no to_pylist).
+    """uint64 hash per row of one column, vectorized for the hot schemas
+    (no to_pylist on strings/binaries/lists/structs/fixed-width).
 
     Strings/binaries hash their UTF-8 bytes (FNV-1a over the flat buffer);
-    list columns hash their flattened child bytes per segment; fixed-width
-    columns hash their raw little-endian bytes.  Nulls map to a sentinel.
-    """
+    list columns hash their children's row hashes per PHYSICAL segment
+    (``.values`` + raw offsets, gathered — correct even for non-canonical
+    layouts where a null slot spans child values, which ``flatten()``
+    would silently drop, misaligning every later row); structs fold their
+    field hashes like table_checksum folds columns; dictionary decodes and
+    recurses; fixed-size lists recurse through large_list.  Remaining
+    exotic types (decimal, map, union, ...) fall back to a per-row repr
+    fold — correctness over speed, and only off the hot path.  Nulls map
+    to a sentinel."""
     from .functions._strkern import fnv1a_segments, utf8_view
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     t = col.type
+    if pa.types.is_dictionary(t):
+        return _column_row_hashes(col.dictionary_decode())
+    if pa.types.is_fixed_size_list(t):
+        return _column_row_hashes(col.cast(pa.large_list(t.value_type)))
     null_mask = None
     if col.null_count:
         null_mask = col.is_null().to_numpy(zero_copy_only=False)
@@ -92,16 +103,36 @@ def _column_row_hashes(col) -> np.ndarray:
         data, off = utf8_view(col)
         h = fnv1a_segments(data, off)
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
-        lengths = np.diff(
-            pa.chunked_array([col]).combine_chunks().offsets.to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+        # .offsets are physical indexes into the FULL child (.values);
+        # gather each row's child hashes explicitly so null slots that
+        # span values (legal Arrow) cannot shift later rows' segments
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ch = _column_row_hashes(col.values)
+        starts = offs[:-1]
+        lengths = np.diff(offs)
+        if null_mask is not None:
+            lengths = lengths.copy()
+            lengths[null_mask] = 0  # content is irrelevant: sentinel below
+        total = int(lengths.sum())
+        idx = np.repeat(starts, lengths) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(lengths) - lengths, lengths)
         )
-        child = col.flatten()
-        ch = _column_row_hashes(child)
-        off = np.zeros(len(col) + 1, dtype=np.int64)
-        np.cumsum(lengths * 8, out=off[1:])
-        h = fnv1a_segments(ch.astype("<u8").view(np.uint8), off)
+        seq = ch[idx]
+        off2 = np.zeros(len(col) + 1, dtype=np.int64)
+        np.cumsum(lengths * 8, out=off2[1:])
+        h = fnv1a_segments(seq.astype("<u8").view(np.uint8), off2)
+    elif pa.types.is_struct(t):
+        # same fold as table_checksum uses across columns
+        h = np.full(len(col), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for i in range(t.num_fields):
+                h = h ^ _mix64(
+                    _column_row_hashes(col.field(i))
+                    + np.uint64(zlib.crc32(t.field(i).name.encode()))
+                )
+                h = h * prime
     elif pa.types.is_boolean(t):
         if col.null_count:
             import pyarrow.compute as pc
@@ -116,16 +147,24 @@ def _column_row_hashes(col) -> np.ndarray:
 
             col = pc.fill_null(col, pa.scalar(0, type=t))
         v = np.ascontiguousarray(col.to_numpy(zero_copy_only=False))
-        w = v.dtype.itemsize
-        if w <= 8:
-            # one 64-bit lane per row: reinterpret the raw bits unsigned
-            # (float NaN payloads and -0.0 vs 0.0 stay distinguishable,
-            # matching bytewise semantics) and mix once — no byte loop.
-            u = v.view(f"u{w}").astype(np.uint64)
-            h = _mix64(u + np.uint64(w))
+        if v.dtype == object:
+            # exotic scalar types (decimal, interval, ...): per-row fold
+            h = np.fromiter(
+                (zlib.crc32(repr(x).encode()) for x in v),
+                dtype=np.uint64, count=len(v),
+            )
+            h = _mix64(h + np.uint64(0x51))
         else:
-            off = np.arange(len(col) + 1, dtype=np.int64) * w
-            h = fnv1a_segments(v.view(np.uint8), off)
+            w = v.dtype.itemsize
+            if w <= 8:
+                # one 64-bit lane per row: reinterpret the raw bits unsigned
+                # (float NaN payloads and -0.0 vs 0.0 stay distinguishable,
+                # matching bytewise semantics) and mix once — no byte loop.
+                u = v.view(f"u{w}").astype(np.uint64)
+                h = _mix64(u + np.uint64(w))
+            else:
+                off = np.arange(len(col) + 1, dtype=np.int64) * w
+                h = fnv1a_segments(v.view(np.uint8), off)
     if null_mask is not None:
         h = h.copy()
         h[null_mask] = _NULL_SENTINEL

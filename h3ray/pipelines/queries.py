@@ -579,6 +579,17 @@ def q_jaccard_verify(sf_dir: str):
     from ..functions import dedup as dedup_fns
 
     def docs_with_near_dups(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # contract guard: the SQL twin's gram set is EMPTY for texts
+        # shorter than the shingle (engine pads to one shingle) — fail
+        # loudly instead of silently diverging if the corpus ever changes
+        min_len = _pc.min(_pc.binary_length(batch.column("text"))).as_py()
+        if min_len is not None and min_len < 5:
+            raise ValueError(
+                "jaccard_verify oracle requires every doc text >= 5 bytes "
+                f"(shingle size); corpus has a {min_len}-byte text"
+            )
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         dup = batch.filter(pa.array(ids % 10 == 0))
         dup = dup.set_column(

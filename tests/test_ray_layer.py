@@ -51,6 +51,63 @@ def test_distributed_compact_equals_local(ray_session):
     assert np.array_equal(local, dist)
 
 
+def test_table_checksum_schemas():
+    """table_checksum: row-order-insensitive, value/null-sensitive, and —
+    regression for the round-4 vectorized rewrite — correct on nested and
+    exotic column types (struct, fixed_size_list, dictionary, decimal,
+    list<struct> corpus-spans shape) and on legal-but-non-canonical list
+    layouts where a null slot spans child values (flatten() would drop
+    them and misalign every later row)."""
+    import decimal
+
+    from h3ray.lineage import table_checksum
+
+    spans_type = pa.large_list(pa.struct(
+        [("kind", pa.string()), ("text", pa.string()), ("offset", pa.int32())]))
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "sig": pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                        type=pa.list_(pa.float32(), 2)),  # fixed_size_list
+        "src": pa.array(["a", "b", "a"]).dictionary_encode(),
+        "meta": pa.array([{"k": 1}, {"k": 2}, None],
+                         type=pa.struct([("k", pa.int64())])),
+        "spans": pa.array(
+            [[{"kind": "text", "text": "x", "offset": 0}], [], None],
+            type=spans_type),
+        "price": pa.array([decimal.Decimal("1.10"), decimal.Decimal("2.20"),
+                           None], type=pa.decimal128(8, 2)),
+    })
+    c = table_checksum(t)
+    # row-order insensitive
+    assert table_checksum(t.take(pa.array([2, 0, 1]))) == c
+    # value-sensitive in every column type
+    for col, val in [
+        ("doc_id", pa.array([1, 2, 99], type=pa.int64())),
+        ("sig", pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 7.0]],
+                         type=pa.list_(pa.float32(), 2))),
+        ("meta", pa.array([{"k": 1}, {"k": 3}, None],
+                          type=pa.struct([("k", pa.int64())]))),
+        ("spans", pa.array([[{"kind": "geo", "text": "x", "offset": 0}],
+                            [], None], type=spans_type)),
+    ]:
+        t2 = t.set_column(t.schema.get_field_index(col), col, val)
+        assert table_checksum(t2) != c, col
+    # non-canonical list layout: null slot [1] SPANS child values 2..4;
+    # logical rows equal a canonical build -> same checksum, no crash
+    child = pa.array([10, 11, 77, 78, 79, 12], type=pa.int64())
+    offsets = pa.array([0, 2, 5, 6], type=pa.int32())
+    validity = pa.py_buffer(bytes([0b101]))
+    weird = pa.Array.from_buffers(
+        pa.list_(pa.int64()), 3,
+        [validity, pa.py_buffer(offsets.to_numpy().astype("int32").tobytes())],
+        children=[child])
+    canon = pa.array([[10, 11], None, [12]], type=pa.list_(pa.int64()))
+    assert weird.to_pylist() == canon.to_pylist()
+    tw = pa.table({"v": weird})
+    tc = pa.table({"v": canon})
+    assert table_checksum(tw) == table_checksum(tc)
+
+
 def test_lineage_resume(ray_session, tmp_path):
     from h3ray import lineage
     from h3ray.h3core import faceijk
@@ -316,6 +373,11 @@ def test_guards_negative_keys_and_stale_checkpoint(ray_session, tmp_path):
     t = pa.table({"doc_id": pa.array([1, -2, 3], type=pa.int64())})
     with pytest.raises(ValueError, match="negative"):
         sampling.hash_sample(t, 0.5)
+    # int column with a null arrives as float64+NaN: must fail loudly, not
+    # sample nondeterministically through an undefined NaN->uint64 cast
+    tn = pa.table({"doc_id": pa.array([1, None, 3], type=pa.int64())})
+    with pytest.raises(ValueError, match="null"):
+        sampling.hash_sample(tn, 0.5)
 
     stale = tmp_path / "ckpt"
     stale.mkdir()
@@ -653,9 +715,18 @@ def test_connected_components_checkpointed(ray_session, tmp_path):
     # only the final round's state survives on disk (bounded footprint)
     rounds = sorted(p for p in os.listdir(ckpt) if p.startswith("round-"))
     assert len(rounds) == 1
-    with pytest.raises(ValueError, match="non-empty"):
+    # RESUME: rerunning with the same dir picks up the surviving round's
+    # state (already converged here) and returns the same clusters
+    out2 = dedup.connected_components(
+        ray.data.from_arrow(pairs), checkpoint_dir=str(ckpt)).to_pandas()
+    assert dict(zip(out2["node"], out2["cluster"])) == got
+    # a dir holding anything other than round checkpoints is refused
+    junk = tmp_path / "junk"
+    junk.mkdir()
+    (junk / "other.parquet").write_bytes(b"x")
+    with pytest.raises(ValueError, match="non-round"):
         dedup.connected_components(
-            ray.data.from_arrow(pairs), checkpoint_dir=str(ckpt))
+            ray.data.from_arrow(pairs), checkpoint_dir=str(junk))
 
 
 def test_fnv1a_outlier_skew_capped():
