@@ -106,6 +106,11 @@ def test_table_checksum_schemas():
     tw = pa.table({"v": weird})
     tc = pa.table({"v": canon})
     assert table_checksum(tw) == table_checksum(tc)
+    # sliced arrays (zero-copy views with nonzero offset) hash like a
+    # canonical rebuild — .offsets are physical into the full .values
+    sl = t.slice(1, 2)
+    rebuilt = pa.Table.from_pylist(sl.to_pylist(), schema=t.schema)
+    assert table_checksum(sl) == table_checksum(rebuilt)
 
 
 def test_lineage_resume(ray_session, tmp_path):
