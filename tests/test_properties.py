@@ -117,6 +117,27 @@ def test_fnv_blocked_scheme_parity_property(segs):
         assert got[i] == h
 
 
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.text(max_size=120), st.text(max_size=120)),
+                min_size=1, max_size=30))
+def test_jaccard_pairs_matches_scalar_property(pairs):
+    """The vectorized batch Jaccard equals the per-pair scalar for
+    arbitrary unicode text pairs (multi-byte UTF-8, empties, shorts —
+    the zero-pad path — and identical strings)."""
+    import pyarrow as pa
+
+    from h3ray.functions import dedup
+
+    t = pa.table({
+        "text_a": pa.array([a for a, _ in pairs], type=pa.large_string()),
+        "text_b": pa.array([b for _, b in pairs], type=pa.large_string()),
+    })
+    out = dedup.jaccard_pairs(t)
+    for i, (a, b) in enumerate(pairs):
+        assert abs(out.column("jaccard")[i].as_py()
+                   - dedup.jaccard(a, b)) < 1e-12
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
