@@ -264,31 +264,44 @@ def jaccard_pairs(batch: pa.Table, a_col: str = "text_a",
 
 def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
                  doc_col: str = "doc_id", a_col: str = "a", b_col: str = "b",
-                 threshold: float = 0.0, shingle: int = 5):
+                 threshold: float = 0.0, shingle: int = 5,
+                 num_buckets: int = 64):
     """Distributed exact-Jaccard verification of candidate pairs — the
     stage the LSH pipelines hand their (a, b) candidates to.
 
-    Text attach is TWO cell-keyed groupby scatters (pairs ∪ docs keyed by
-    ``a``, then by ``b``), not a Dataset join: the groupby exchange moves
-    the same bytes without the join aggregator's spin-up cost, and it
-    reuses the engine's one partitioning primitive.  Each group holds at
-    most one doc row (doc ids unique) plus that doc's candidate pairs;
-    pairs referencing a missing doc id are dropped.  Then one vectorized
+    Text attach is TWO bucketed hash-join scatters (pairs ∪ docs keyed by
+    ``hash(a) % num_buckets``, then by ``b``'s bucket), not a Dataset
+    join: the groupby exchange moves the same bytes without the join
+    aggregator's spin-up cost.  Crucially the group key is the BUCKET, not
+    the doc id — grouping per doc id would invoke the group kernel once
+    per document (per-group Python dominates: measured 19 s vs 4 s at a
+    5k-doc corpus), while ``num_buckets`` groups each run ONE vectorized
+    sort + searchsorted join over all their pairs and docs.  Pairs
+    referencing a missing doc id are dropped.  Then one vectorized
     ``jaccard_pairs`` pass filters to ``jaccard >= threshold``.
 
-    Returns (a, b, inter, union_size, jaccard) — ints are exact set
-    cardinalities; at 100 TB both scatters shuffle |pairs| + |docs| rows,
-    no all-pairs blowup and nothing on the driver."""
+    ``num_buckets`` bounds per-task group size: at 100 TB raise it so one
+    bucket's docs+pairs fit a worker (it only changes partitioning, never
+    results).  Both scatters shuffle |pairs| + |docs| rows, no all-pairs
+    blowup and nothing on the driver.  Returns
+    (a, b, inter, union_size, jaccard)."""
+
+    def bucket_of(k: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array(bucket_of(a)),
                 "key": pa.array(a),
                 "other": pa.array(b),
                 "payload": pa.nulls(len(a), type=pa.large_string()),
                 "is_doc": pa.array(np.zeros(len(a), dtype=np.bool_)),
+                "carry": pa.nulls(len(a), type=pa.large_string()),
             }
         )
 
@@ -296,10 +309,12 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
         d = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
+                "bucket": pa.array(bucket_of(d)),
                 "key": pa.array(d),
                 "other": pa.array(np.zeros(len(d), dtype=np.int64)),
                 "payload": batch.column(text_col).cast(pa.large_string()),
                 "is_doc": pa.array(np.ones(len(d), dtype=np.bool_)),
+                "carry": pa.nulls(len(d), type=pa.large_string()),
             }
         )
 
@@ -310,26 +325,35 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
             is_doc = batch.column("is_doc").to_numpy(zero_copy_only=False)
             docs = batch.filter(pa.array(is_doc))
             pairs = batch.filter(pa.array(~is_doc))
-            if docs.num_rows == 0 or pairs.num_rows == 0:
-                return pa.table(
-                    {key_out: pa.array([], type=pa.int64()),
-                     other_out: pa.array([], type=pa.int64()),
-                     text_out: pa.array([], type=pa.large_string()),
-                     **({carry: pa.array([], type=pa.large_string())}
-                        if carry else {})}
-                )
-            # broadcast the group's single doc text with a zero-index take
-            # (no .as_py() round-trip / Python list in the group path)
-            text_bcast = docs.column("payload").take(
-                pa.array(np.zeros(pairs.num_rows, dtype=np.int64))
+            empty = pa.table(
+                {key_out: pa.array([], type=pa.int64()),
+                 other_out: pa.array([], type=pa.int64()),
+                 text_out: pa.array([], type=pa.large_string()),
+                 **({carry: pa.array([], type=pa.large_string())}
+                    if carry else {})}
             )
+            if docs.num_rows == 0 or pairs.num_rows == 0:
+                return empty
+            # vectorized hash join within the bucket: sort doc keys once,
+            # searchsorted every pair key, gather matched texts
+            dk = docs.column("key").to_numpy(zero_copy_only=False)
+            order = np.argsort(dk, kind="stable")
+            dks = dk[order]
+            pk = pairs.column("key").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(dks, pk)
+            pos = np.clip(pos, 0, len(dks) - 1)
+            hit = dks[pos] == pk
+            if not hit.any():
+                return empty
+            sel = pa.array(np.nonzero(hit)[0])
+            texts = docs.column("payload").take(pa.array(order[pos[hit]]))
             cols = {
-                key_out: pairs.column("key"),
-                other_out: pairs.column("other"),
-                text_out: text_bcast,
+                key_out: pairs.column("key").take(sel),
+                other_out: pairs.column("other").take(sel),
+                text_out: texts,
             }
             if carry:
-                cols[carry] = pairs.column("carry")
+                cols[carry] = pairs.column("carry").take(sel)
             return pa.table(cols)
 
         return k
@@ -338,15 +362,17 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
     stage1 = (
         pairs_ds.map_batches(pair_rows, batch_format="pyarrow")
         .union(docs_keyed)
-        .groupby("key")
+        .groupby("bucket")
         .map_groups(attach(("a_id", "b_id", "text_a", None)),
                     batch_format="pyarrow")
     )
 
-    # re-key by b, carrying text_a through the second scatter
+    # re-key by b's bucket, carrying text_a through the second scatter
     def rekey(batch: pa.Table) -> pa.Table:
+        b = batch.column("b_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
+                "bucket": pa.array(bucket_of(b)),
                 "key": batch.column("b_id"),
                 "other": batch.column("a_id"),
                 "payload": pa.nulls(batch.num_rows, type=pa.large_string()),
@@ -356,15 +382,10 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
             }
         )
 
-    def add_carry(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "carry", pa.nulls(batch.num_rows, type=pa.large_string())
-        )
-
     stage2 = (
         stage1.map_batches(rekey, batch_format="pyarrow")
-        .union(docs_keyed.map_batches(add_carry, batch_format="pyarrow"))
-        .groupby("key")
+        .union(docs_keyed)
+        .groupby("bucket")
         .map_groups(attach(("b", "a", "text_b", "text_a")),
                     batch_format="pyarrow")
     )
