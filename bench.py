@@ -45,11 +45,23 @@ def _pipelines(sf_dir: str):
 
     def final_merge(ds, key: str, val: str):
         """Combiner pattern: blocks already hold partial (key, val) sums with
-        bounded cardinality, so the final merge is one Arrow C++ hash groupby
-        over the concatenated partials (far cheaper than an all-to-all for
-        bounded group counts; the groupby shuffle path in
+        bounded cardinality.  A distributed combine level first re-batches
+        partials ACROSS blocks (batch_size=64Ki) and merges each batch down
+        to <= cardinality rows in a task — at 100 TB this collapses
+        num_blocks x cardinality partial rows by ~64Ki/cardinality per
+        level before anything reaches the driver — then the driver runs one
+        Arrow C++ hash groupby over the residue (far cheaper than an
+        all-to-all for bounded group counts; the groupby shuffle path in
         h3ray/pipelines/queries.py covers unbounded cardinalities)."""
-        tables = ray.get(ds.to_arrow_refs())
+
+        def combine(batch: pa.Table) -> pa.Table:
+            g = pa.TableGroupBy(batch, key).aggregate([(val, "sum")])
+            return g.select([key, f"{val}_sum"]).rename_columns([key, val])
+
+        combined = ds.map_batches(
+            combine, batch_format="pyarrow", batch_size=1 << 16
+        )
+        tables = ray.get(combined.to_arrow_refs())
         t = pa.concat_tables([x for x in tables if x.num_rows])
         return pa.TableGroupBy(t, key).aggregate([(val, "sum")])
 
