@@ -2189,3 +2189,111 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# --- time-series family (no reference counterpart; see functions/timeseries) -
+
+
+def q_window_agg(sf_dir: str):
+    """Per-event sliding-window features: count and integer-cents sum of
+    ``value`` over the same user's events in the preceding 24 h
+    (inclusive, peers included) — the rate-limit / activity-feature shape
+    of a training-data pipeline.  Exactly SQL's RANGE frame; value is
+    scaled to cents on BOTH sides so the sum is integer-exact."""
+    from ..functions import timeseries
+
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "user_id": pa.array(uid),
+                "ts_us": pa.array(ts),
+                "cents": pa.array(np.round(val * 100).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = timeseries.sliding_window_agg(
+        ds,
+        key_col="user_id",
+        ts_col="ts_us",
+        val_col="cents",
+        id_col="event_id",
+        window_us=24 * hour_us,
+        num_buckets=64,
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "w_count", "w_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_asof_join(sf_dir: str):
+    """Attribution-style as-of join: each purchase event matched to the
+    same user's most recent view event at-or-before it (SQL ASOF JOIN).
+    Whole keys co-locate (per-user history in one bucket task); see
+    functions/timeseries.py for the partitioning contract."""
+    import pyarrow.compute as pc
+
+    from ..functions import timeseries
+
+    def side(event_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+            filter=(pc.field("event_type") == event_type),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("user_id"),
+                    "ts_us": pa.array(
+                        b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return timeseries.asof_join(
+        side("purchase"),
+        side("view"),
+        key_col="user_id",
+        ts_col="ts_us",
+        left_id_col="event_id",
+        right_id_col="event_id",
+        out_right_col="view_event_id",
+        num_buckets=64,
+    )
+
+
+QUERIES.update({"window_agg": q_window_agg, "asof_join": q_asof_join})
+ORACLE_SQL.update(
+    {
+        "window_agg": """
+            SELECT event_id,
+                   COUNT(*) OVER w AS w_count,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS w_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "asof_join": """
+            SELECT l.event_id AS event_id, r.event_id AS view_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+    }
+)

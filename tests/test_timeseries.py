@@ -1,0 +1,173 @@
+"""Sliding-window aggregate and as-of join (functions/timeseries.py).
+
+Kernel tests compare against O(n^2) brute force with no Ray; Dataset
+tests run the full bucketed shuffle path and additionally assert that
+``num_buckets`` never changes results.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from h3ray.functions import timeseries
+
+
+def _brute_window(key, ts, val, w):
+    cnt = np.empty(len(key), np.int64)
+    tot = np.empty(len(key), np.int64)
+    for i in range(len(key)):
+        m = (key == key[i]) & (ts >= ts[i] - w) & (ts <= ts[i])
+        cnt[i] = m.sum()
+        tot[i] = val[m].sum()
+    return cnt, tot
+
+
+def _brute_asof(lk, lt, rk, rt, rid):
+    out = {}
+    for i in range(len(lk)):
+        m = (rk == lk[i]) & (rt <= lt[i])
+        if m.any():
+            cand = np.nonzero(m)[0]
+            best_ts = rt[cand].max()
+            cand = cand[rt[cand] == best_ts]
+            out[i] = int(rid[cand[np.argmax(rid[cand])]])
+    return out
+
+
+def test_window_kernel_brute_force_with_halo():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n = int(rng.integers(1, 300))
+        key = rng.integers(0, 5, n).astype(np.int64)
+        ts = rng.integers(0, 1000, n).astype(np.int64)
+        val = rng.integers(-5, 50, n).astype(np.int64)
+        w = int(rng.integers(1, 200))
+        c = w * int(rng.integers(1, 4))
+        chunk = ts // c
+        halo = ts >= (chunk + 1) * c - w
+        k2 = np.concatenate([key, key[halo]])
+        c2 = np.concatenate([chunk, chunk[halo] + 1])
+        t2 = np.concatenate([ts, ts[halo]])
+        v2 = np.concatenate([val, val[halo]])
+        owned = np.concatenate([np.ones(n, bool), np.zeros(int(halo.sum()), bool)])
+        src = np.concatenate([np.arange(n), np.nonzero(halo)[0]])
+        # split over 3 arbitrary buckets to prove per-bucket independence
+        bmask = (k2 * 7 + c2 * 13) % 3
+        cnt = np.empty(n, np.int64)
+        tot = np.empty(n, np.int64)
+        for b in range(3):
+            sel = bmask == b
+            c_, t_ = timeseries.window_kernel(
+                k2[sel], c2[sel], t2[sel], v2[sel], owned[sel], w, c + w + 1
+            )
+            rows = src[sel][owned[sel]]
+            cnt[rows] = c_
+            tot[rows] = t_
+        bc, bt = _brute_window(key, ts, val, w)
+        assert np.array_equal(cnt, bc)
+        assert np.array_equal(tot, bt)
+
+
+def test_window_kernel_ties_and_exact_bounds():
+    # peers at the same ts all count each other; ts - window is inclusive
+    key = np.zeros(4, np.int64)
+    ts = np.array([0, 10, 10, 20], np.int64)
+    val = np.array([1, 2, 4, 8], np.int64)
+    chunk = np.zeros(4, np.int64)
+    owned = np.ones(4, bool)
+    cnt, tot = timeseries.window_kernel(key, chunk, ts, val, owned, 10, 100)
+    assert cnt.tolist() == [1, 3, 3, 3]  # [0,10] window of the 20-row hits 10,10,20
+    assert tot.tolist() == [1, 7, 7, 14]
+
+
+def test_asof_kernel_brute_force():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        nl, nr = int(rng.integers(1, 200)), int(rng.integers(1, 200))
+        lk = rng.integers(0, 6, nl).astype(np.int64) * 999_983  # raw sparse keys
+        rk = rng.integers(0, 6, nr).astype(np.int64) * 999_983
+        lt = rng.integers(0, 80, nl).astype(np.int64)
+        rt = rng.integers(0, 80, nr).astype(np.int64)
+        rid = rng.permutation(nr).astype(np.int64)
+        li, ri = timeseries.asof_kernel(lk, lt, rk, rt, rid)
+        got = dict(zip(li.tolist(), rid[ri].tolist()))
+        assert got == _brute_asof(lk, lt, rk, rt, rid)
+
+
+def _events_table(n=500, users=7, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "rid": pa.array(np.arange(n, dtype=np.int64)),
+            "uid": pa.array(rng.integers(0, users, n).astype(np.int64)),
+            "t": pa.array(rng.integers(0, 5_000, n).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+        }
+    )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 16])
+def test_sliding_window_agg_dataset(ray_session, num_buckets):
+    import ray
+
+    t = _events_table()
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = timeseries.sliding_window_agg(
+        ds,
+        key_col="uid",
+        ts_col="t",
+        val_col="v",
+        id_col="rid",
+        window_us=300,
+        chunk_us=400,  # several chunk crossings over the 5000-tick span
+        num_buckets=num_buckets,
+    ).to_pandas()
+    assert len(out) == t.num_rows
+    out = out.sort_values("rid").reset_index(drop=True)
+    key = t.column("uid").to_numpy()
+    ts = t.column("t").to_numpy()
+    val = t.column("v").to_numpy()
+    bc, bt = _brute_window(key, ts, val, 300)
+    assert np.array_equal(out["w_count"].to_numpy(), bc)
+    assert np.array_equal(out["w_sum"].to_numpy(), bt)
+
+
+def test_sliding_window_rejects_small_chunk():
+    with pytest.raises(ValueError, match="chunk_us"):
+        timeseries.sliding_window_agg(
+            None, key_col="k", ts_col="t", val_col="v", id_col="i",
+            window_us=100, chunk_us=50,
+        )
+
+
+@pytest.mark.parametrize("num_buckets", [1, 16])
+def test_asof_join_dataset(ray_session, num_buckets):
+    import ray
+
+    t = _events_table(n=600, users=9, seed=8)
+    # odd rows are the left side, even rows the right side
+    rid = t.column("rid").to_numpy()
+    left = t.filter(pa.array(rid % 2 == 1))
+    right = t.filter(pa.array(rid % 2 == 0))
+    out = timeseries.asof_join(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        key_col="uid",
+        ts_col="t",
+        left_id_col="rid",
+        right_id_col="rid",
+        out_right_col="match_rid",
+        num_buckets=num_buckets,
+    ).to_pandas()
+    want = _brute_asof(
+        left.column("uid").to_numpy(),
+        left.column("t").to_numpy(),
+        right.column("uid").to_numpy(),
+        right.column("t").to_numpy(),
+        right.column("rid").to_numpy(),
+    )
+    got = dict(zip(out["rid"].tolist(), out["match_rid"].tolist()))
+    # map brute's positional keys to left ids
+    lrid = left.column("rid").to_numpy()
+    want_by_id = {int(lrid[i]): v for i, v in want.items()}
+    assert got == want_by_id
