@@ -287,3 +287,201 @@ def asof_join(
         side_rows(1, right_id_col), batch_format="pyarrow", zero_copy_batch=True
     )
     return lk.union(rk).groupby("bucket").map_groups(group, batch_format="pyarrow")
+
+
+def _latest_per_key_chunk(
+    key: np.ndarray, chunk: np.ndarray, ts: np.ndarray, rid: np.ndarray
+):
+    """Reduce rows to one winner per (key, chunk): the max (ts, rid).
+    Vectorized: lexsort + take-last-per-group."""
+    order = np.lexsort((rid, ts, chunk, key))
+    k, c = key[order], chunk[order]
+    last = np.nonzero(
+        np.concatenate([(k[1:] != k[:-1]) | (c[1:] != c[:-1]), [True]])
+    )[0]
+    sel = order[last]
+    return key[sel], chunk[sel], ts[sel], rid[sel]
+
+
+def asof_join_chunked(
+    left_ds,
+    right_ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    left_id_col: str,
+    right_id_col: str,
+    chunk_us: int,
+    out_right_col: str | None = None,
+    num_buckets: int = 256,
+):
+    """As-of join with BOUNDED per-task memory: identical semantics to
+    ``asof_join`` (greatest right ts <= left ts per key, max-rid
+    tie-break, inner), but co-locating only ``(key, time-chunk)`` slices
+    instead of whole keys.
+
+    A right row is visible to left rows of LATER chunks only through a
+    per-(key, left-chunk) *boundary snapshot* — the latest right row
+    strictly before that chunk's start.  Snapshots are computed from
+    per-batch partials (one candidate row per (key, chunk) per batch, so
+    their volume scales with batch count x active keys, not event
+    volume) in one small key-bucketed exchange, then replicated as halo
+    rows into exactly the left chunks that exist.  The main exchange
+    then co-groups per (key, chunk): in-chunk right rows + one snapshot
+    row answer every left row.  Three exchanges total, two of them over
+    reduced partials.
+
+    Use this over ``asof_join`` when a single key's right-side history
+    can outgrow one task (e.g. one hot instrument's full quote stream).
+    """
+    out_right = out_right_col or right_id_col
+
+    def left_keyed(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = batch.column(left_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ts // np.int64(chunk_us)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(key, chunk, num_buckets)),
+                "key": pa.array(key),
+                "chunk": pa.array(chunk),
+                "ts": pa.array(ts),
+                "rid": pa.array(rid),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
+            }
+        )
+
+    def right_keyed(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = batch.column(right_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ts // np.int64(chunk_us)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(key, chunk, num_buckets)),
+                "key": pa.array(key),
+                "chunk": pa.array(chunk),
+                "ts": pa.array(ts),
+                "rid": pa.array(rid),
+                "side": pa.array(np.ones(len(key), dtype=np.int8)),
+            }
+        )
+
+    # --- small-partial plane: left chunk presence + right per-chunk latest
+    def left_presence(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ts // np.int64(chunk_us)
+        order = np.lexsort((chunk, key))
+        k, c = key[order], chunk[order]
+        keep = np.concatenate([[True], (k[1:] != k[:-1]) | (c[1:] != c[:-1])])
+        k, c = k[keep], c[keep]
+        return pa.table(
+            {
+                "kb": pa.array(_bucket_of(k, np.zeros_like(k), num_buckets)),
+                "key": pa.array(k),
+                "chunk": pa.array(c),
+                "ts": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "rid": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "pside": pa.array(np.zeros(len(k), dtype=np.int8)),
+            }
+        )
+
+    def right_latest(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rid = batch.column(right_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ts // np.int64(chunk_us)
+        k, c, t, r = _latest_per_key_chunk(key, chunk, ts, rid)
+        return pa.table(
+            {
+                "kb": pa.array(_bucket_of(k, np.zeros_like(k), num_buckets)),
+                "key": pa.array(k),
+                "chunk": pa.array(c),
+                "ts": pa.array(t),
+                "rid": pa.array(r),
+                "pside": pa.array(np.ones(len(k), dtype=np.int8)),
+            }
+        )
+
+    def make_halos(batch: pa.Table) -> pa.Table:
+        pside = batch.column("pside").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        chunk = batch.column("chunk").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        rid = batch.column("rid").to_numpy(zero_copy_only=False)
+        pm, rm = pside == 0, pside == 1
+        empty = pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "key": pa.array([], type=pa.int64()),
+                "chunk": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.int64()),
+                "rid": pa.array([], type=pa.int64()),
+                "side": pa.array([], type=pa.int8()),
+            }
+        )
+        if not pm.any() or not rm.any():
+            return empty
+        # global per-(key, chunk) right winners inside this key-bucket
+        rk, rc, rt, rr = _latest_per_key_chunk(key[rm], chunk[rm], ts[rm], rid[rm])
+        # presence pairs may repeat across batches: dedup
+        order = np.lexsort((chunk[pm], key[pm]))
+        pk, pc = key[pm][order], chunk[pm][order]
+        keep = np.concatenate([[True], (pk[1:] != pk[:-1]) | (pc[1:] != pc[:-1])])
+        pk, pc = pk[keep], pc[keep]
+        # snapshot for left chunk c = latest right row in chunks < c:
+        # an as-of match on the chunk axis (rc <= pc - 1), tie-broken by
+        # (ts, rid) via the pre-reduced winners' natural chunk order
+        lidx, ridx = asof_kernel(pk, pc - 1, rk, rc, np.arange(len(rk), dtype=np.int64))
+        if len(lidx) == 0:
+            return empty
+        hk, hc = pk[lidx], pc[lidx]
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(hk, hc, num_buckets)),
+                "key": pa.array(hk),
+                "chunk": pa.array(hc),
+                "ts": pa.array(rt[ridx]),
+                "rid": pa.array(rr[ridx]),
+                "side": pa.array(np.ones(len(hk), dtype=np.int8)),
+            }
+        )
+
+    def group(batch: pa.Table) -> pa.Table:
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        chunk = batch.column("chunk").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        rid = batch.column("rid").to_numpy(zero_copy_only=False)
+        lm, rm = side == 0, side == 1
+        # the kernel keys must separate (key, chunk) slices: two rows of
+        # the same key in different chunks must not see each other (the
+        # snapshot row already carries the older chunks' history)
+        kd = np.unique(key, return_inverse=True)[1].astype(np.int64)
+        cd = np.unique(chunk, return_inverse=True)[1].astype(np.int64)
+        seg = kd * (cd.max() + np.int64(1)) + cd
+        lidx, ridx = asof_kernel(seg[lm], ts[lm], seg[rm], ts[rm], rid[rm])
+        return pa.table(
+            {
+                left_id_col: pa.array(rid[lm][lidx]),
+                out_right: pa.array(rid[rm][ridx]),
+            }
+        )
+
+    lk = left_ds.map_batches(left_keyed, batch_format="pyarrow", zero_copy_batch=True)
+    rk = right_ds.map_batches(right_keyed, batch_format="pyarrow", zero_copy_batch=True)
+    lp = left_ds.map_batches(left_presence, batch_format="pyarrow", zero_copy_batch=True)
+    rl = right_ds.map_batches(right_latest, batch_format="pyarrow", zero_copy_batch=True)
+    halos = (
+        lp.union(rl)
+        .groupby("kb")
+        .map_groups(make_halos, batch_format="pyarrow")
+    )
+    return (
+        lk.union(rk)
+        .union(halos)
+        .groupby("bucket")
+        .map_groups(group, batch_format="pyarrow")
+    )

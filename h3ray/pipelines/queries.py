@@ -2297,3 +2297,49 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_asof_chunked(sf_dir: str):
+    """Same attribution join as q_asof_join but through the
+    bounded-memory chunked engine (per-(key, time-chunk) co-location +
+    boundary snapshots; 4-day chunks force snapshots to cross many chunk
+    boundaries over the 30-day span).  Must hash-match the identical
+    ASOF oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions import timeseries
+
+    def side(event_type: str):
+        return ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts"],
+            filter=(pc.field("event_type") == event_type),
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "event_id": b.column("event_id"),
+                    "user_id": b.column("user_id"),
+                    "ts_us": pa.array(
+                        b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return timeseries.asof_join_chunked(
+        side("purchase"),
+        side("view"),
+        key_col="user_id",
+        ts_col="ts_us",
+        left_id_col="event_id",
+        right_id_col="event_id",
+        chunk_us=4 * 24 * 3_600_000_000,
+        out_right_col="view_event_id",
+        num_buckets=64,
+    )
+
+
+QUERIES.update({"asof_chunked": q_asof_chunked})
+ORACLE_SQL.update({"asof_chunked": ORACLE_SQL["asof_join"]})

@@ -171,3 +171,51 @@ def test_asof_join_dataset(ray_session, num_buckets):
     lrid = left.column("rid").to_numpy()
     want_by_id = {int(lrid[i]): v for i, v in want.items()}
     assert got == want_by_id
+
+
+@pytest.mark.parametrize("chunk_us,num_buckets", [(300, 1), (300, 16), (50_000, 8)])
+def test_asof_join_chunked_dataset(ray_session, chunk_us, num_buckets):
+    """Chunked variant must be row-identical to the whole-key contract,
+    including snapshots reaching across many empty chunks (chunk_us=300
+    over a 5000-tick span) and the degenerate all-in-one-chunk case."""
+    import ray
+
+    t = _events_table(n=700, users=6, seed=21)
+    rid = t.column("rid").to_numpy()
+    left = t.filter(pa.array(rid % 3 != 0))
+    right = t.filter(pa.array(rid % 3 == 0))
+    out = timeseries.asof_join_chunked(
+        ray.data.from_arrow(left).repartition(4),
+        ray.data.from_arrow(right).repartition(3),
+        key_col="uid",
+        ts_col="t",
+        left_id_col="rid",
+        right_id_col="rid",
+        chunk_us=chunk_us,
+        out_right_col="match_rid",
+        num_buckets=num_buckets,
+    ).to_pandas()
+    want = _brute_asof(
+        left.column("uid").to_numpy(),
+        left.column("t").to_numpy(),
+        right.column("uid").to_numpy(),
+        right.column("t").to_numpy(),
+        right.column("rid").to_numpy(),
+    )
+    lrid = left.column("rid").to_numpy()
+    want_by_id = {int(lrid[i]): v for i, v in want.items()}
+    got = dict(zip(out["rid"].tolist(), out["match_rid"].tolist()))
+    assert got == want_by_id
+
+
+def test_asof_chunked_no_right_rows(ray_session):
+    import ray
+
+    t = _events_table(n=50, users=3, seed=2)
+    left = ray.data.from_arrow(t)
+    right = ray.data.from_arrow(t.slice(0, 0))
+    out = timeseries.asof_join_chunked(
+        left, right, key_col="uid", ts_col="t", left_id_col="rid",
+        right_id_col="rid", chunk_us=100,
+    ).to_pandas()
+    assert len(out) == 0
