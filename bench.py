@@ -243,6 +243,14 @@ def _pipelines(sf_dir: str):
         ).map_batches(nation_to_rects, batch_format="pyarrow", zero_copy_batch=True)
         return join_mod.pip_join_shuffle(pds, rds, res=3, salt=4).count()
 
+    def q_window_agg():
+        """24h sliding-window user features over events — the shipped
+        queries.q_window_agg plan verbatim ((key, chunk)+halo bucketed
+        exchange, vectorized searchsorted/cumsum kernel)."""
+        from h3ray.pipelines.queries import q_window_agg as shipped
+
+        return shipped(sf_dir).count()
+
     return {
         "encode_pip": q_encode_pip,
         "lineitem_encode_agg": q_lineitem_encode_agg,
@@ -251,6 +259,7 @@ def _pipelines(sf_dir: str):
         "compact": q_compact,
         "text_dedup": q_text_dedup,
         "pip_salted": q_pip_salted,
+        "window_agg": q_window_agg,
     }
 
 
@@ -591,6 +600,106 @@ def run_scaling(n_points: int = 24_000_000):
     return out
 
 
+def run_ts_scale():
+    """sliding_window_agg at 1x and FACTORx the sf0.1 events table
+    (default 10x, H3RAY_TS_SCALE_FACTOR to override): fragment k offsets
+    user_id by k*10_000 (distinct keys, identical per-key densities and
+    chunk structure), so the synthesized input is exactly the wider-fleet
+    shape — more (key, chunk) slices, same slice size.  The IDENTICAL
+    24h-window / 96h-chunk plan runs at both scales; rows/s should grow
+    toward linear as the two fixed sort-exchange floors amortize."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from h3ray.functions import timeseries
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm_kernel, batch_format="pyarrow"
+    ).count()
+
+    hour_us = 3_600_000_000
+
+    def run_once(path, n_rows: int) -> float:
+        ds = ray.data.read_parquet(
+            path, override_num_blocks=max(4, min(NUM_CPUS * 2, n_rows // 50_000 + 1))
+        )
+        t0 = time.perf_counter()
+        out = timeseries.sliding_window_agg(
+            ds,
+            key_col="user_id",
+            ts_col="ts_us",
+            val_col="cents",
+            id_col="event_id",
+            window_us=24 * hour_us,
+            num_buckets=256,
+        ).count()
+        secs = time.perf_counter() - t0
+        assert out == n_rows, (out, n_rows)
+        return secs
+
+    factor = int(os.environ.get("H3RAY_TS_SCALE_FACTOR", "10"))
+    src = pq.read_table(
+        f"{SF_DIR}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    eid = src.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = src.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = src.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+    cents = np.round(src.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+        np.int64
+    )
+    work = tempfile.mkdtemp(prefix="h3ray_tsscale_")
+    try:
+        for scale, nfrag in (("1x", 1), (f"{factor}x", factor)):
+            d = os.path.join(work, scale)
+            os.makedirs(d)
+            for i in range(nfrag):
+                pq.write_table(
+                    pa.table(
+                        {
+                            "event_id": pa.array(eid + i * 10_000_000),
+                            "user_id": pa.array(uid + i * 10_000),
+                            "ts_us": pa.array(ts),
+                            "cents": pa.array(cents),
+                        }
+                    ),
+                    f"{d}/events-{i:03d}.parquet",
+                )
+        run_once(os.path.join(work, "1x"), len(eid))  # untimed warm pass
+        results = {}
+        for scale, nfrag in (("1x", 1), (f"{factor}x", factor)):
+            n = len(eid) * nfrag
+            secs = run_once(os.path.join(work, scale), n)
+            results[scale] = {
+                "rows": n,
+                "secs": round(secs, 3),
+                "rows_per_sec": round(n / secs),
+            }
+        lo = results["1x"]["rows_per_sec"]
+        hi = results[f"{factor}x"]["rows_per_sec"]
+        print(
+            json.dumps(
+                {
+                    "metric": "sliding_window_agg exchange-floor amortization",
+                    "value": round(hi / lo, 2),
+                    "unit": f"rows/s speedup at {factor}x input",
+                    "scales": results,
+                    "num_cpus": NUM_CPUS,
+                    "sf": SF_DIR,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -600,5 +709,7 @@ if __name__ == "__main__":
         run_flagship_sf1()
     elif "--pip-scale" in sys.argv:
         run_pip_scale()
+    elif "--ts-scale" in sys.argv:
+        run_ts_scale()
     else:
         run_bench()
