@@ -605,9 +605,11 @@ def run_ts_scale():
     (default 10x, H3RAY_TS_SCALE_FACTOR to override): fragment k offsets
     user_id by k*10_000 (distinct keys, identical per-key densities and
     chunk structure), so the synthesized input is exactly the wider-fleet
-    shape — more (key, chunk) slices, same slice size.  The IDENTICAL
-    24h-window / 96h-chunk plan runs at both scales; rows/s should grow
-    toward linear as the two fixed sort-exchange floors amortize."""
+    shape — more (key, chunk) slices, same slice size.  The same
+    24h-window / 96h-chunk plan runs at both scales (num_buckets=256,
+    sized for the larger input; the headline window_agg query uses 64);
+    rows/s should grow toward linear as the two fixed sort-exchange
+    floors amortize."""
     import shutil
     import tempfile
 
@@ -651,12 +653,14 @@ def run_ts_scale():
     eid = src.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
     uid = src.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
     ts = src.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
-    cents = np.round(src.column("value").to_numpy(zero_copy_only=False) * 100).astype(
-        np.int64
-    )
+    cents = np.floor(
+        src.column("value").to_numpy(zero_copy_only=False) * 100 + 0.5
+    ).astype(np.int64)
+    # dict dedupes the degenerate factor=1 case (both scales are "1x")
+    scales = dict((("1x", 1), (f"{factor}x", factor)))
     work = tempfile.mkdtemp(prefix="h3ray_tsscale_")
     try:
-        for scale, nfrag in (("1x", 1), (f"{factor}x", factor)):
+        for scale, nfrag in scales.items():
             d = os.path.join(work, scale)
             os.makedirs(d)
             for i in range(nfrag):
@@ -673,7 +677,7 @@ def run_ts_scale():
                 )
         run_once(os.path.join(work, "1x"), len(eid))  # untimed warm pass
         results = {}
-        for scale, nfrag in (("1x", 1), (f"{factor}x", factor)):
+        for scale, nfrag in scales.items():
             n = len(eid) * nfrag
             secs = run_once(os.path.join(work, scale), n)
             results[scale] = {

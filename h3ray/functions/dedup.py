@@ -287,9 +287,9 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
     (a, b, inter, union_size, jaccard)."""
 
     def bucket_of(k: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        return ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+        from ._util import bucket_single
+
+        return bucket_single(k, num_buckets)
 
     def pair_rows(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -36,18 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-_MIX1 = np.uint64(0x9E3779B97F4A7C15)
-_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
-
-
-def _bucket_of(a: np.ndarray, b: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Deterministic bucket of two int64 key parts (same mix family as
-    join.pip_join_shuffle)."""
-    with np.errstate(over="ignore"):
-        h = (
-            a.astype(np.uint64) + _MIX1 * (b.astype(np.uint64) + np.uint64(1))
-        ) * _MIX2
-    return ((h >> np.uint64(29)) % np.uint64(num_buckets)).astype(np.int64)
+from ._util import bucket_pair as _bucket_of
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +236,7 @@ def asof_join(
     lexsort + one searchsorted over that bucket's rows.  Whole keys
     co-locate (see module docstring for the partitioning contract).
     """
-    out_right = out_right_col or right_id_col
+    out_right = _out_right_name(left_id_col, right_id_col, out_right_col)
 
     def side_rows(side_val: int, id_col: str):
         def k(batch: pa.Table) -> pa.Table:
@@ -289,11 +278,29 @@ def asof_join(
     return lk.union(rk).groupby("bucket").map_groups(group, batch_format="pyarrow")
 
 
+def _out_right_name(
+    left_id_col: str, right_id_col: str, out_right_col: str | None
+) -> str:
+    """Resolve the output column for the matched right id, refusing a
+    collision with the left id column (a duplicate name would silently
+    drop the left ids in the pa.table dict)."""
+    out_right = out_right_col or right_id_col
+    if out_right == left_id_col:
+        raise ValueError(
+            f"output right-id column {out_right!r} collides with "
+            f"left_id_col — pass out_right_col to disambiguate "
+            "(e.g. both sides share an id column name)"
+        )
+    return out_right
+
+
 def _latest_per_key_chunk(
     key: np.ndarray, chunk: np.ndarray, ts: np.ndarray, rid: np.ndarray
 ):
     """Reduce rows to one winner per (key, chunk): the max (ts, rid).
     Vectorized: lexsort + take-last-per-group."""
+    if len(key) == 0:
+        return key, chunk, ts, rid
     order = np.lexsort((rid, ts, chunk, key))
     k, c = key[order], chunk[order]
     last = np.nonzero(
@@ -334,49 +341,39 @@ def asof_join_chunked(
     Use this over ``asof_join`` when a single key's right-side history
     can outgrow one task (e.g. one hot instrument's full quote stream).
     """
-    out_right = out_right_col or right_id_col
+    out_right = _out_right_name(left_id_col, right_id_col, out_right_col)
 
-    def left_keyed(batch: pa.Table) -> pa.Table:
-        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = batch.column(left_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        chunk = ts // np.int64(chunk_us)
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(key, chunk, num_buckets)),
-                "key": pa.array(key),
-                "chunk": pa.array(chunk),
-                "ts": pa.array(ts),
-                "rid": pa.array(rid),
-                "side": pa.array(np.zeros(len(key), dtype=np.int8)),
-            }
-        )
+    def chunk_side_rows(side_val: int, id_col: str):
+        def k(batch: pa.Table) -> pa.Table:
+            key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            rid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            chunk = ts // np.int64(chunk_us)
+            return pa.table(
+                {
+                    "bucket": pa.array(_bucket_of(key, chunk, num_buckets)),
+                    "key": pa.array(key),
+                    "chunk": pa.array(chunk),
+                    "ts": pa.array(ts),
+                    "rid": pa.array(rid),
+                    "side": pa.array(np.full(len(key), side_val, dtype=np.int8)),
+                }
+            )
 
-    def right_keyed(batch: pa.Table) -> pa.Table:
-        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        rid = batch.column(right_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        chunk = ts // np.int64(chunk_us)
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(key, chunk, num_buckets)),
-                "key": pa.array(key),
-                "chunk": pa.array(chunk),
-                "ts": pa.array(ts),
-                "rid": pa.array(rid),
-                "side": pa.array(np.ones(len(key), dtype=np.int8)),
-            }
-        )
+        return k
 
     # --- small-partial plane: left chunk presence + right per-chunk latest
     def left_presence(batch: pa.Table) -> pa.Table:
         key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
         chunk = ts // np.int64(chunk_us)
-        order = np.lexsort((chunk, key))
-        k, c = key[order], chunk[order]
-        keep = np.concatenate([[True], (k[1:] != k[:-1]) | (c[1:] != c[:-1])])
-        k, c = k[keep], c[keep]
+        if len(key) == 0:
+            k, c = key, chunk
+        else:
+            order = np.lexsort((chunk, key))
+            k, c = key[order], chunk[order]
+            keep = np.concatenate([[True], (k[1:] != k[:-1]) | (c[1:] != c[:-1])])
+            k, c = k[keep], c[keep]
         return pa.table(
             {
                 "kb": pa.array(_bucket_of(k, np.zeros_like(k), num_buckets)),
@@ -470,8 +467,12 @@ def asof_join_chunked(
             }
         )
 
-    lk = left_ds.map_batches(left_keyed, batch_format="pyarrow", zero_copy_batch=True)
-    rk = right_ds.map_batches(right_keyed, batch_format="pyarrow", zero_copy_batch=True)
+    lk = left_ds.map_batches(
+        chunk_side_rows(0, left_id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rk = right_ds.map_batches(
+        chunk_side_rows(1, right_id_col), batch_format="pyarrow", zero_copy_batch=True
+    )
     lp = left_ds.map_batches(left_presence, batch_format="pyarrow", zero_copy_batch=True)
     rl = right_ds.map_batches(right_latest, batch_format="pyarrow", zero_copy_batch=True)
     halos = (

@@ -279,12 +279,9 @@ def pip_join_shuffle(
     """
 
     def bucket_of(cells: np.ndarray, salts: np.ndarray) -> np.ndarray:
-        with np.errstate(over="ignore"):
-            h = (
-                cells.astype(np.uint64)
-                + np.uint64(0x9E3779B97F4A7C15) * (salts.astype(np.uint64) + np.uint64(1))
-            ) * np.uint64(0xC4CEB9FE1A85EC53)
-        return ((h >> np.uint64(29)) % np.uint64(num_buckets)).astype(np.int64)
+        from .functions._util import bucket_pair
+
+        return bucket_pair(cells, salts, num_buckets)
 
     def rect_rows(batch: pa.Table) -> pa.Table:
         rid = batch.column("rect_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -385,21 +382,29 @@ def pip_join_shuffle(
         rl1 = rcs.column("lng1").to_numpy(zero_copy_only=False)
         ra1 = rcs.column("lat1").to_numpy(zero_copy_only=False)
         rid = rcs.column("rect_id").to_numpy(zero_copy_only=False)
-        prow = np.repeat(np.arange(len(pk), dtype=np.int64), cnt)
-        ridx = rorder[
-            np.repeat(lo, cnt)
-            + (np.arange(total, dtype=np.int64)
-               - np.repeat(np.cumsum(cnt) - cnt, cnt))
-        ]
-        # evaluate the containment test in bounded chunks so temporaries
-        # stay ~block_elems regardless of how hot the bucket is
+        # expand candidate pairs AND test containment in bounded point
+        # slices: every temporary (index expansion included) stays
+        # ~block_elems long no matter how hot the bucket is — the worst
+        # case is one point whose own candidate range exceeds the step
+        cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnt)])
         out_p = []
         out_r = []
         step = max(1, block_elems)
-        for s in range(0, total, step):
-            e = s + step
-            pr = prow[s:e]
-            rr = ridx[s:e]
+        i0 = 0
+        while i0 < len(pk):
+            i1 = int(np.searchsorted(cum, cum[i0] + step, "left"))
+            i1 = min(max(i1, i0 + 1), len(pk))
+            c = cnt[i0:i1]
+            t = int(cum[i1] - cum[i0])
+            if t == 0:
+                i0 = i1
+                continue
+            pr = np.repeat(np.arange(i0, i1, dtype=np.int64), c)
+            rr = rorder[
+                np.repeat(lo[i0:i1], c)
+                + (np.arange(t, dtype=np.int64)
+                   - np.repeat(np.cumsum(c) - c, c))
+            ]
             hit = (
                 (plng[pr] >= rl0[rr])
                 & (plng[pr] <= rl1[rr])
@@ -408,6 +413,7 @@ def pip_join_shuffle(
             )
             out_p.append(pid[pr[hit]])
             out_r.append(rid[rr[hit]])
+            i0 = i1
         return pa.table(
             {point_id_col: pa.array(np.concatenate(out_p)),
              "rect_id": pa.array(np.concatenate(out_r))}

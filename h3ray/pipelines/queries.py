@@ -2214,7 +2214,11 @@ def q_window_agg(sf_dir: str):
                 "event_id": pa.array(eid),
                 "user_id": pa.array(uid),
                 "ts_us": pa.array(ts),
-                "cents": pa.array(np.round(val * 100).astype(np.int64)),
+                # floor(x + 0.5), NOT np.round: numpy rounds half-to-even
+                # while DuckDB ROUND rounds half-away — floor(+0.5) is the
+                # same IEEE-double expression on both sides, so parity
+                # holds even for exact .5 inputs
+                "cents": pa.array(np.floor(val * 100 + 0.5).astype(np.int64)),
             }
         )
 
@@ -2236,37 +2240,42 @@ def q_window_agg(sf_dir: str):
     )
 
 
+def _asof_events_side(sf_dir: str, event_type: str):
+    """One side of the attribution as-of join: events of one type with
+    (event_id, user_id, ts_us) — shared by q_asof_join and
+    q_asof_chunked so both queries stay byte-comparable against the one
+    shared ASOF oracle."""
+    import pyarrow.compute as pc
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=(pc.field("event_type") == event_type),
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pa.array(
+                    b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_asof_join(sf_dir: str):
     """Attribution-style as-of join: each purchase event matched to the
     same user's most recent view event at-or-before it (SQL ASOF JOIN).
     Whole keys co-locate (per-user history in one bucket task); see
     functions/timeseries.py for the partitioning contract."""
-    import pyarrow.compute as pc
-
     from ..functions import timeseries
 
-    def side(event_type: str):
-        return ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts"],
-            filter=(pc.field("event_type") == event_type),
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "event_id": b.column("event_id"),
-                    "user_id": b.column("user_id"),
-                    "ts_us": pa.array(
-                        b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
     return timeseries.asof_join(
-        side("purchase"),
-        side("view"),
+        _asof_events_side(sf_dir, "purchase"),
+        _asof_events_side(sf_dir, "view"),
         key_col="user_id",
         ts_col="ts_us",
         left_id_col="event_id",
@@ -2282,7 +2291,7 @@ ORACLE_SQL.update(
         "window_agg": """
             SELECT event_id,
                    COUNT(*) OVER w AS w_count,
-                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
                         AS BIGINT) AS w_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -2305,32 +2314,11 @@ def q_asof_chunked(sf_dir: str):
     boundary snapshots; 4-day chunks force snapshots to cross many chunk
     boundaries over the 30-day span).  Must hash-match the identical
     ASOF oracle."""
-    import pyarrow.compute as pc
-
     from ..functions import timeseries
 
-    def side(event_type: str):
-        return ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts"],
-            filter=(pc.field("event_type") == event_type),
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "event_id": b.column("event_id"),
-                    "user_id": b.column("user_id"),
-                    "ts_us": pa.array(
-                        b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-
     return timeseries.asof_join_chunked(
-        side("purchase"),
-        side("view"),
+        _asof_events_side(sf_dir, "purchase"),
+        _asof_events_side(sf_dir, "view"),
         key_col="user_id",
         ts_col="ts_us",
         left_id_col="event_id",

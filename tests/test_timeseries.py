@@ -216,6 +216,27 @@ def test_asof_chunked_no_right_rows(ray_session):
     right = ray.data.from_arrow(t.slice(0, 0))
     out = timeseries.asof_join_chunked(
         left, right, key_col="uid", ts_col="t", left_id_col="rid",
-        right_id_col="rid", chunk_us=100,
+        right_id_col="rid", chunk_us=100, out_right_col="match_rid",
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_asof_out_col_collision_raises():
+    """left_id_col == defaulted out_right column would silently drop the
+    left ids in the output dict — both variants must refuse it."""
+    with pytest.raises(ValueError, match="collides"):
+        timeseries.asof_join(
+            None, None, key_col="uid", ts_col="t",
+            left_id_col="event_id", right_id_col="event_id",
+        )
+    with pytest.raises(ValueError, match="collides"):
+        timeseries.asof_join_chunked(
+            None, None, key_col="uid", ts_col="t",
+            left_id_col="event_id", right_id_col="event_id", chunk_us=100,
+        )
+
+
+def test_latest_per_key_chunk_empty():
+    z = np.zeros(0, dtype=np.int64)
+    k, c, t, r = timeseries._latest_per_key_chunk(z, z, z, z)
+    assert len(k) == len(c) == len(t) == len(r) == 0
