@@ -491,6 +491,9 @@ def grid_disk_distances(origins: np.ndarray, k: int):
         nbr, _, err = neighbor_rotations(cells, dirs)
         ok = err == 0
         rows, nbr = rows[ok], nbr[ok]
+        if len(nbr) == 0:
+            # every expansion errored (e.g. all frontier cells invalid)
+            break
         keys = pack(rows, nbr)
         order = np.argsort(keys)
         keys = keys[order]
@@ -525,6 +528,100 @@ def grid_ring_distances(origins: np.ndarray, k_min: int, k_max: int):
     rows, cells, dist = grid_disk_distances(origins, k_max)
     m = dist >= k_min
     return rows[m], cells[m], dist[m]
+
+
+NEXT_RING_DIRECTION = ijk.I_AXES_DIGIT  # h3lib/lib/algos.c ring step-out axis
+
+
+def grid_disk_walk(origins: np.ndarray, k: int):
+    """(origin_row, cell, dist) with each origin's cells in the C
+    library's ring-walk order (gridDiskDistancesUnsafe,
+    h3lib/lib/algos.c): origin first, then each ring 1..k traversed as
+    one un-emitted step out along ``NEXT_RING_DIRECTION`` followed by six
+    ring-length sides in ``DIRECTIONS`` order, emitting every step's
+    destination — so a ring's step-out cell is emitted LAST, where the
+    walk closes.
+
+    Exactly as in C, the walk aborts for an origin when any visited cell
+    is a pentagon or a step crosses a deleted pentagon subsequence; those
+    origins fall back to BFS discovery order re-sorted ring-contiguous
+    (set-identical, order not walk-defined — C falls back to its safe
+    algorithm there too).  The construction and constants are the
+    published ones; h3o bit-identical ordering is unverifiable here (no
+    H3 binding), so tests enforce the ordering invariants instead:
+    ring-contiguous, closed neighbor-adjacent perimeter, step-out last.
+    """
+    origins = np.asarray(origins, dtype=np.uint64)
+    n = len(origins)
+    if n == 0 or k < 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, np.empty(0, dtype=np.uint64), e
+    res = bits.get_resolution(origins).astype(np.int64)
+    if len(np.unique(res)) > 1:
+        rows_all, cells_all, dist_all = [], [], []
+        for r in np.unique(res):
+            m = res == r
+            rr, cc, dd = grid_disk_walk(origins[m], k)
+            rows_all.append(np.nonzero(m)[0][rr])
+            cells_all.append(cc)
+            dist_all.append(dd)
+        # re-interleave to global row-major order, preserving each
+        # row's internal walk order
+        rows = np.concatenate(rows_all)
+        cells = np.concatenate(cells_all)
+        dist = np.concatenate(dist_all)
+        order = np.argsort(rows, kind="stable")
+        return rows[order], cells[order], dist[order]
+
+    cur = origins.copy()
+    rot = np.zeros(n, dtype=np.int64)
+    alive = ~bits.is_pentagon(origins)
+    steps = 3 * k * (k + 1)  # sum of 6*ring emissions
+    emit_cells = np.empty((steps, n), dtype=np.uint64)
+    emit_dist = np.empty(steps, dtype=np.int64)
+
+    def advance(direction) -> None:
+        nonlocal cur, rot, alive
+        nxt, rot, err = neighbor_rotations(cur, direction, rot)
+        dead = alive & ((err != 0) | bits.is_pentagon(nxt))
+        alive = alive & ~dead
+        # park dead rows on their origin so later steps stay valid cells
+        cur = np.where(alive, nxt, origins)
+
+    s = 0
+    for ring in range(1, k + 1):
+        advance(NEXT_RING_DIRECTION)  # step out: not emitted
+        for d in DIRECTIONS:
+            for _ in range(ring):
+                advance(int(d))
+                emit_cells[s] = cur
+                emit_dist[s] = ring
+                s += 1
+
+    per_row = steps + 1
+    rows_out, cells_out, dist_out = [], [], []
+    a_idx = np.nonzero(alive)[0]
+    if len(a_idx):
+        cells_a = np.concatenate(
+            [origins[a_idx][:, None], emit_cells[:, a_idx].T], axis=1
+        ).ravel()
+        rows_out.append(np.repeat(a_idx, per_row))
+        cells_out.append(cells_a)
+        dist_out.append(
+            np.tile(np.concatenate([[0], emit_dist]), len(a_idx))
+        )
+    d_idx = np.nonzero(~alive)[0]
+    if len(d_idx):
+        rr, cc, dd = grid_disk_distances(origins[d_idx], k)
+        order = np.lexsort((dd, rr))
+        rows_out.append(d_idx[rr[order]])
+        cells_out.append(cc[order])
+        dist_out.append(dd[order])
+    rows = np.concatenate(rows_out)
+    cells = np.concatenate(cells_out)
+    dist = np.concatenate(dist_out)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], cells[order], dist[order]
 
 if not _HAVE_CACHED:
     _calibrate_pentagon_neighbor_rots()

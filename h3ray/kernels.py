@@ -456,19 +456,22 @@ def grid_disk_distances_list(
     that would not clobber an input column, else 'disk' — pass an explicit
     name to override).
 
-    ``ring_order=True`` sorts every row's list by ascending grid distance,
-    so ring j occupies one contiguous segment per origin — the reference's
-    ring-by-ring layout (ring MEMBER SETS per k match exactly; within-ring
-    rotation order is BFS discovery order, not certified h3o-identical).
-    Default False keeps plain BFS order (cheaper: no per-row re-sort)."""
+    ``ring_order=True`` lays every row's list out ring-by-ring in the C
+    library's ring-walk order (``traversal.grid_disk_walk``: step out,
+    six sides per ring, step-out cell emitted last; origins whose disk
+    touches a pentagon fall back to BFS order within rings, as C falls
+    back to its safe algorithm).  Ring MEMBER SETS per k match the
+    reference exactly; the walk construction is the published one but is
+    not certified h3o-bit-identical (no binding available to compare).
+    Default False keeps plain BFS order (cheaper: no per-step walk)."""
     if out_col is None:
         out_col = "cell" if "cell" not in batch.column_names else "disk"
     cells = _u64(batch, cell_col)
-    rows, disk, dist = traversal.grid_disk_distances(cells, k)
     if ring_order:
-        # stable: row-major, then distance; BFS discovery order within a ring
-        order = np.lexsort((dist, rows))
+        rows, disk, dist = traversal.grid_disk_walk(cells, k)
+        order = np.arange(len(rows))  # already row-major, walk-ordered
     else:
+        rows, disk, dist = traversal.grid_disk_distances(cells, k)
         order = np.argsort(rows, kind="stable")
     rows_s = rows[order]
     counts = np.bincount(rows_s, minlength=len(cells))

@@ -200,3 +200,64 @@ def test_grid_disk_distances_list_ring_order():
             seg = set(members[dists == j].tolist())
             rr, ring, rd = traversal.grid_ring_distances(cells[r:r + 1], j, j)
             assert seg == set(ring.tolist())
+
+
+def test_grid_disk_walk_invariants():
+    """grid_disk_walk follows the C gridDiskDistancesUnsafe construction:
+    per origin, ring j is one contiguous 6j-cell segment forming a CLOSED
+    neighbor-adjacent perimeter walk (each emitted cell is a grid
+    neighbor of the previous; the segment's last cell neighbors its
+    first), and member sets equal BFS rings exactly.  Pentagon origins /
+    pentagon-touching disks fall back to BFS order but keep identical
+    ring sets."""
+    from h3ray.h3core import faceijk, traversal
+
+    def neighbors_of(cell):
+        _, nbr = traversal.grid_disk(np.array([cell], dtype=np.uint64), 1)
+        return set(int(x) for x in nbr) - {int(cell)}
+
+    # hexagon origins (no pentagon within k) + a pentagon origin
+    hexes = faceijk.latlng_to_cell(
+        np.array([10.0, 52.5, -33.9]), np.array([20.0, 13.4, 151.2]), 2
+    )
+    pent = bits.set_base_cell(bits.init_cell(2, 1), np.array([4], dtype=np.uint64))
+    pent = bits.set_index_digit(pent, 1, np.array([0], dtype=np.uint64))
+    pent = bits.set_index_digit(pent, 2, np.array([0], dtype=np.uint64))
+    origins = np.concatenate([hexes, pent])
+    K = 3
+    rows, cells, dist = traversal.grid_disk_walk(origins, K)
+    for r in range(len(origins)):
+        m = rows == r
+        mc, md = cells[m], dist[m]
+        assert md[0] == 0 and mc[0] == origins[r]
+        assert (np.diff(md) >= 0).all()
+        for j in range(K + 1):
+            seg = mc[md == j]
+            _, ring, _ = traversal.grid_ring_distances(origins[r:r + 1], j, j)
+            assert set(seg.tolist()) == set(ring.tolist())
+            assert len(seg) == len(set(seg.tolist()))
+        if not bits.is_pentagon(origins[r : r + 1])[0]:
+            # full rings: 6j cells each, closed adjacent walk
+            for j in range(1, K + 1):
+                seg = mc[md == j]
+                assert len(seg) == 6 * j
+                loop = np.concatenate([seg, seg[:1]])
+                for a, b in zip(loop[:-1], loop[1:]):
+                    assert int(b) in neighbors_of(a)
+
+
+def test_grid_disk_walk_multi_res_and_empty():
+    from h3ray.h3core import faceijk, traversal
+
+    r1 = faceijk.latlng_to_cell(np.array([10.0]), np.array([20.0]), 1)
+    r3 = faceijk.latlng_to_cell(np.array([52.5]), np.array([13.4]), 3)
+    both = np.concatenate([r3, r1])  # mixed res, out of res order
+    rows, cells, dist = traversal.grid_disk_walk(both, 2)
+    assert set(rows.tolist()) == {0, 1}
+    for r in range(2):
+        mc = cells[rows == r]
+        assert mc[0] == both[r] and len(mc) == 19
+    e_rows, e_cells, e_dist = traversal.grid_disk_walk(
+        np.empty(0, dtype=np.uint64), 2
+    )
+    assert len(e_rows) == 0 and len(e_cells) == 0 and len(e_dist) == 0
