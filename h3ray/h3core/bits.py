@@ -273,6 +273,89 @@ def children_count(h: np.ndarray, child_res) -> np.ndarray:
     return np.where(pent, pentcount, hexcount)
 
 
+_POW7 = 7 ** np.arange(MAX_H3_RES + 1, dtype=np.int64)
+_PENT7 = 1 + 5 * (_POW7 - 1) // 6  # pentagon-rooted subtree sizes
+
+
+def cell_to_child_pos(h: np.ndarray, parent_res) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized H3 v4 ``cellToChildPos``: the rank of the cell among
+    ALL descendants at its own resolution of its ancestor at
+    ``parent_res``, in ``cellToChildren`` order (ascending digit,
+    pentagon subtrees skip the deleted K digit).
+
+    Published recurrence (h3lib/lib/h3Index.c, H3 v4 — reimplemented,
+    not transcribed): walking levels parent_res+1..res with m levels
+    remaining below each, a hexagon ancestor contributes digit * 7^m and
+    a pentagon ancestor contributes 0 for digit 0 or
+    pent(m) + (digit - 2) * 7^m for digits 2..6, where
+    pent(m) = 1 + 5*(7^m - 1)/6 is the pentagon-rooted subtree size.
+
+    Returns ``(pos int64, ok bool)``; ok is False where res < parent_res
+    or the digit path is invalid (digit 7 in range, or a K digit under a
+    pentagon ancestor).
+    """
+    h = _u64(h)
+    res = get_resolution(h).astype(np.int64)
+    pr = np.broadcast_to(np.asarray(parent_res, dtype=np.int64), h.shape)
+    ok = (res >= pr) & (pr >= 0)
+    anc = cell_to_parent(h, np.where(ok, pr, res).astype(np.int64))
+    pent = is_pentagon(anc) & ok
+    pos = np.zeros(h.shape, dtype=np.int64)
+    for r in range(1, MAX_H3_RES + 1):
+        active = ok & (pr < r) & (res >= r)
+        if not active.any():
+            continue
+        d = get_index_digit(h, r).astype(np.int64)
+        m = np.clip(res - r, 0, MAX_H3_RES)
+        hexm = _POW7[m]
+        bad = active & ((d > 6) | (pent & (d == K_AXES_DIGIT)))
+        ok = ok & ~bad
+        act = active & ~bad
+        on_pent = act & pent
+        desc = on_pent & (d >= 2)
+        pos = np.where(desc, pos + _PENT7[m] + (d - 2) * hexm, pos)
+        pos = np.where(act & ~pent, pos + d * hexm, pos)
+        pent = pent & ~desc  # digit 0 stays on the pentagon path
+    return np.where(ok, pos, 0), ok
+
+
+def child_pos_to_cell(
+    parent: np.ndarray, pos: np.ndarray, child_res
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized H3 v4 ``childPosToCell``: inverse of
+    :func:`cell_to_child_pos` — the ``pos``-th descendant of ``parent``
+    at ``child_res`` in ``cellToChildren`` order.  Returns
+    ``(cell, ok)``; ok is False where child_res < parent res or pos is
+    outside [0, children_count).
+    """
+    parent = _u64(parent)
+    pos = np.asarray(pos, dtype=np.int64)
+    pres = get_resolution(parent).astype(np.int64)
+    cr = int(child_res)
+    ok = (pres <= cr) & (pos >= 0) & (pos < children_count(parent, cr))
+    h = cell_to_center_child(parent, np.where(ok, cr, pres).astype(np.int64))
+    rem = np.where(ok, pos, 0)
+    pent = is_pentagon(parent) & ok
+    for r in range(1, cr + 1):
+        active = ok & (pres < r)
+        if not active.any():
+            continue
+        m = cr - r
+        hexm = int(_POW7[m])
+        pentm = int(_PENT7[m])
+        on_pent = active & pent
+        desc = on_pent & (rem >= pentm)
+        d = np.zeros(parent.shape, dtype=np.int64)
+        d = np.where(desc, 2 + (rem - pentm) // hexm, d)
+        rem = np.where(desc, (rem - pentm) % hexm, rem)
+        plain = active & ~pent
+        d = np.where(plain, rem // hexm, d)
+        rem = np.where(plain, rem % hexm, rem)
+        pent = pent & ~desc
+        h = np.where(active, set_index_digit(h, r, d.astype(np.uint64)), h)
+    return h, ok
+
+
 # --- string conversion ------------------------------------------------------
 
 _HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)

@@ -339,6 +339,37 @@ def uncompact_kernel(batch: pa.Table, res: int, cell_col: str = DEFAULT_CELL_COL
     return out.append_column(cell_col, pa.array(ch))
 
 
+def cell_to_child_pos(
+    batch: pa.Table, parent_res: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "child_pos",
+) -> pa.Table:
+    """H3 v4 cellToChildPos (beyond the reference surface — h3ronpy
+    exposes no childPos ops): rank of each cell among all descendants of
+    its parent_res ancestor, in cellToChildren order.  The stable child
+    ordering makes (ancestor, child_pos) a natural shard key.  Appends
+    {out_col: int64, out_col+'_ok': bool} (ok False: res < parent_res or
+    invalid digit path)."""
+    cells = _u64(batch, cell_col)
+    pos, ok = bits.cell_to_child_pos(cells, parent_res)
+    batch = _append(batch, out_col, pa.array(pos))
+    return _append(batch, out_col + "_ok", pa.array(ok))
+
+
+def child_pos_to_cell(
+    batch: pa.Table, child_res: int, parent_col: str = DEFAULT_CELL_COLUMN_NAME,
+    pos_col: str = "child_pos", out_col: str = "child",
+) -> pa.Table:
+    """H3 v4 childPosToCell: the pos-th descendant at child_res of each
+    parent, inverse of :func:`cell_to_child_pos`.  Appends
+    {out_col: uint64, out_col+'_ok': bool} (ok False: child_res < parent
+    res or pos outside [0, children_count))."""
+    parents = _u64(batch, parent_col)
+    pos = batch.column(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    cell, ok = bits.child_pos_to_cell(parents, pos, child_res)
+    batch = _append(batch, out_col, pa.array(cell))
+    return _append(batch, out_col + "_ok", pa.array(ok))
+
+
 def grid_disk_aggregate_k_partial(
     batch: pa.Table, k: int, cell_col: str = DEFAULT_CELL_COLUMN_NAME
 ) -> pa.Table:

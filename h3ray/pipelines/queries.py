@@ -2331,3 +2331,45 @@ def q_asof_chunked(sf_dir: str):
 
 QUERIES.update({"asof_chunked": q_asof_chunked})
 ORACLE_SQL.update({"asof_chunked": ORACLE_SQL["asof_join"]})
+
+
+# --- child position family (H3 v4 API; beyond the reference surface) --------
+
+
+def q_child_pos(sf_dir: str):
+    """cellToChildPos / childPosToCell roundtrip over constructed res-5
+    cells against their res-2 ancestors.  For hexagon ancestors pos is
+    pure digit arithmetic (d3*49 + d4*7 + d5), so the oracle recomputes
+    it from event_id; the inverse applied to (ancestor, pos) must
+    reproduce the original cell construction bit-for-bit."""
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        t = kernels.cell_to_child_pos(batch, 2)
+        cells = t.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = t.column("child_pos").to_numpy(zero_copy_only=False)
+        anc = bits.cell_to_parent(cells, 2)
+        rt, _ = bits.child_pos_to_cell(anc, pos, 5)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "child_pos": t.column("child_pos"),
+                "rt_cell": pa.array(rt.astype(np.int64)),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"child_pos": q_child_pos})
+ORACLE_SQL.update(
+    {
+        "child_pos": f"""
+            SELECT event_id,
+                   CAST(((event_id * 5) % 7) * 49 + ((event_id * 6) % 7) * 7
+                        + (event_id * 7) % 7 AS BIGINT) AS child_pos,
+                   {_CELL_SQL} AS rt_cell
+            FROM events
+        """,
+    }
+)

@@ -261,3 +261,49 @@ def test_grid_disk_walk_multi_res_and_empty():
         np.empty(0, dtype=np.uint64), 2
     )
     assert len(e_rows) == 0 and len(e_cells) == 0 and len(e_dist) == 0
+
+
+def test_child_pos_exhaustive_res2():
+    """cellToChildPos == rank in numerically sorted children (DFS digit
+    order), and childPosToCell inverts it — over ALL 122 base cells
+    (pentagons included) and every res-2 descendant."""
+    parents = bits.set_base_cell(
+        bits.init_cell(0, 122), np.arange(122, dtype=np.uint64)
+    )
+    for b in range(122):
+        p = parents[b : b + 1]
+        kids = []
+        for d1 in range(7):
+            for d2 in range(7):
+                h = bits.set_resolution(p, np.array([2], np.uint64))
+                h = bits.set_index_digit(h, 1, np.array([d1], np.uint64))
+                h = bits.set_index_digit(h, 2, np.array([d2], np.uint64))
+                if bits.is_valid_cell(h)[0]:
+                    kids.append(int(h[0]))
+        kids = np.array(sorted(kids), dtype=np.uint64)
+        assert len(kids) == int(bits.children_count(p, 2)[0])
+        pos, ok = bits.cell_to_child_pos(kids, 0)
+        assert ok.all() and (pos == np.arange(len(kids))).all()
+        back, ok2 = bits.child_pos_to_cell(
+            np.repeat(p, len(kids)), np.arange(len(kids)), 2
+        )
+        assert ok2.all() and (back == kids).all()
+
+
+def test_child_pos_error_flags():
+    p = bits.set_base_cell(bits.init_cell(0, 1), np.array([7], dtype=np.uint64))
+    c = bits.set_resolution(p, np.array([2], np.uint64))
+    c = bits.set_index_digit(c, 1, np.array([3], np.uint64))
+    c = bits.set_index_digit(c, 2, np.array([5], np.uint64))
+    _, ok = bits.cell_to_child_pos(c, 5)  # parent_res below cell res
+    assert not ok.any()
+    _, ok = bits.child_pos_to_cell(p, np.array([49]), 2)  # pos == count
+    assert not ok.any()
+    _, ok = bits.child_pos_to_cell(p, np.array([-1]), 2)
+    assert not ok.any()
+    # K digit under a pentagon ancestor is an invalid path
+    pent = bits.set_base_cell(bits.init_cell(0, 1), np.array([4], dtype=np.uint64))
+    kcell = bits.set_resolution(pent, np.array([1], np.uint64))
+    kcell = bits.set_index_digit(kcell, 1, np.array([1], np.uint64))
+    _, ok = bits.cell_to_child_pos(kcell, 0)
+    assert not ok.any()
