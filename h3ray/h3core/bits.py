@@ -332,6 +332,9 @@ def child_pos_to_cell(
     pos = np.asarray(pos, dtype=np.int64)
     pres = get_resolution(parent).astype(np.int64)
     cr = int(child_res)
+    if not 0 <= cr <= MAX_H3_RES:
+        # C childPosToCell: E_RES_DOMAIN — never ok=True garbage cells
+        return parent.copy(), np.zeros(parent.shape, dtype=bool)
     ok = (pres <= cr) & (pos >= 0) & (pos < children_count(parent, cr))
     h = cell_to_center_child(parent, np.where(ok, cr, pres).astype(np.int64))
     rem = np.where(ok, pos, 0)

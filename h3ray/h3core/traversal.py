@@ -420,6 +420,30 @@ DIRECTIONS = np.array(
 )
 
 
+def _split_by_resolution(origins: np.ndarray, k: int, fn):
+    """Mixed-resolution dispatch shared by the disk traversals: apply
+    ``fn`` (which requires uniform-res input, as neighbor_rotations does)
+    per resolution group, remap rows to global positions, and stably
+    re-interleave to row-major order preserving each row's internal
+    order.  Returns None when the input is already uniform."""
+    res = bits.get_resolution(origins).astype(np.int64)
+    uniq = np.unique(res)
+    if len(uniq) <= 1:
+        return None
+    rows_all, cells_all, dist_all = [], [], []
+    for r in uniq:
+        m = res == r
+        rr, cc, dd = fn(origins[m], k)
+        rows_all.append(np.nonzero(m)[0][rr])
+        cells_all.append(cc)
+        dist_all.append(dd)
+    rows = np.concatenate(rows_all)
+    cells = np.concatenate(cells_all)
+    dist = np.concatenate(dist_all)
+    order = np.argsort(rows, kind="stable")
+    return rows[order], cells[order], dist[order]
+
+
 def grid_disk_distances(origins: np.ndarray, k: int):
     """All cells within grid distance k of each origin.
 
@@ -434,23 +458,9 @@ def grid_disk_distances(origins: np.ndarray, k: int):
     if n == 0 or k < 0:
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.uint64), e
-    # group by resolution (neighbor step requires uniform res)
-    res = bits.get_resolution(origins).astype(np.int64)
-    if len(np.unique(res)) > 1:
-        rows_all = []
-        cells_all = []
-        dist_all = []
-        for r in np.unique(res):
-            m = res == r
-            rr, cc, dd = grid_disk_distances(origins[m], k)
-            rows_all.append(np.nonzero(m)[0][rr])
-            cells_all.append(cc)
-            dist_all.append(dd)
-        return (
-            np.concatenate(rows_all),
-            np.concatenate(cells_all),
-            np.concatenate(dist_all),
-        )
+    mixed = _split_by_resolution(origins, k, grid_disk_distances)
+    if mixed is not None:
+        return mixed
 
     # chunk origins so (row, cell) packs losslessly into one uint64:
     # at uniform resolution the mode/reserved/res bits are constant, so a
@@ -556,22 +566,9 @@ def grid_disk_walk(origins: np.ndarray, k: int):
     if n == 0 or k < 0:
         e = np.empty(0, dtype=np.int64)
         return e, np.empty(0, dtype=np.uint64), e
-    res = bits.get_resolution(origins).astype(np.int64)
-    if len(np.unique(res)) > 1:
-        rows_all, cells_all, dist_all = [], [], []
-        for r in np.unique(res):
-            m = res == r
-            rr, cc, dd = grid_disk_walk(origins[m], k)
-            rows_all.append(np.nonzero(m)[0][rr])
-            cells_all.append(cc)
-            dist_all.append(dd)
-        # re-interleave to global row-major order, preserving each
-        # row's internal walk order
-        rows = np.concatenate(rows_all)
-        cells = np.concatenate(cells_all)
-        dist = np.concatenate(dist_all)
-        order = np.argsort(rows, kind="stable")
-        return rows[order], cells[order], dist[order]
+    mixed = _split_by_resolution(origins, k, grid_disk_walk)
+    if mixed is not None:
+        return mixed
 
     cur = origins.copy()
     rot = np.zeros(n, dtype=np.int64)

@@ -364,7 +364,7 @@ def child_pos_to_cell(
     {out_col: uint64, out_col+'_ok': bool} (ok False: child_res < parent
     res or pos outside [0, children_count))."""
     parents = _u64(batch, parent_col)
-    pos = batch.column(pos_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = _col(batch, pos_col).astype(np.int64)
     cell, ok = bits.child_pos_to_cell(parents, pos, child_res)
     batch = _append(batch, out_col, pa.array(cell))
     return _append(batch, out_col + "_ok", pa.array(ok))
@@ -499,13 +499,13 @@ def grid_disk_distances_list(
         out_col = "cell" if "cell" not in batch.column_names else "disk"
     cells = _u64(batch, cell_col)
     if ring_order:
+        # grid_disk_walk output is already row-major walk-ordered
         rows, disk, dist = traversal.grid_disk_walk(cells, k)
-        order = np.arange(len(rows))  # already row-major, walk-ordered
     else:
         rows, disk, dist = traversal.grid_disk_distances(cells, k)
         order = np.argsort(rows, kind="stable")
-    rows_s = rows[order]
-    counts = np.bincount(rows_s, minlength=len(cells))
+        rows, disk, dist = rows[order], disk[order], dist[order]
+    counts = np.bincount(rows, minlength=len(cells))
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     if out_col in batch.column_names:
@@ -513,13 +513,13 @@ def grid_disk_distances_list(
     batch = _append(
         batch,
         out_col,
-        pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk[order])),
+        pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(disk)),
     )
     return _append(
         batch,
         "k",
         pa.LargeListArray.from_arrays(
-            pa.array(offsets), pa.array(dist[order].astype(np.uint32))
+            pa.array(offsets), pa.array(dist.astype(np.uint32))
         ),
     )
 

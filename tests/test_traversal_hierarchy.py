@@ -307,3 +307,13 @@ def test_child_pos_error_flags():
     kcell = bits.set_index_digit(kcell, 1, np.array([1], np.uint64))
     _, ok = bits.cell_to_child_pos(kcell, 0)
     assert not ok.any()
+
+
+def test_child_pos_res_domain():
+    """child_res outside 0..15 must flag ok=False (C E_RES_DOMAIN), not
+    return garbage cells marked ok."""
+    p = bits.set_base_cell(bits.init_cell(0, 1), np.array([7], dtype=np.uint64))
+    c, ok = bits.child_pos_to_cell(p, np.array([0]), 16)
+    assert not ok.any() and (c == p).all()
+    c, ok = bits.child_pos_to_cell(p, np.array([0]), -1)
+    assert not ok.any()
