@@ -52,9 +52,10 @@ def window_kernel(
     owned: np.ndarray,
     window_us: int,
     span_us: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized sliding-window count+sum for the OWNED rows of one
-    bucket.
+    extremes: bool = False,
+):
+    """Vectorized sliding-window count+sum (and optionally min+max) for
+    the OWNED rows of one bucket.
 
     Rows belong to (key, chunk) segments; halo rows (``owned == False``)
     are last-window_us replicas from the previous chunk carrying the NEXT
@@ -62,12 +63,15 @@ def window_kernel(
     entirely inside its own segment.  One lexsort orders segments into
     disjoint composite-integer blocks (rel-ts packed per segment, span
     bounded by ``span_us``), then two searchsorted calls + one cumsum
-    answer every row's frame.  Returns (count, sum) aligned to the owned
-    rows in input order.
+    answer every row's frame.  With ``extremes=True`` a sparse-table RMQ
+    (O(n log n) build of per-level pairwise min/max, two gathers per
+    query grouped by level) additionally answers each frame's min and
+    max.  Returns (count, sum) or (count, sum, min, max) aligned to the
+    owned rows in input order.
     """
     if len(key) == 0:
         z = np.zeros(0, dtype=np.int64)
-        return z, z
+        return (z, z, z, z) if extremes else (z, z)
     # dense (key, chunk) segment ids without np.unique(axis=0)'s
     # void-dtype sort: densify each part, pack, densify the pack
     kd = np.unique(key, return_inverse=True)[1].astype(np.int64)
@@ -88,9 +92,28 @@ def window_kernel(
     q = comp[owned]
     lo = np.searchsorted(cs, q - np.int64(window_us), "left")
     hi = np.searchsorted(cs, q, "right")
-    cnt = hi - lo
+    cnt = (hi - lo).astype(np.int64)
     tot = cum[hi] - cum[lo]
-    return cnt.astype(np.int64), tot
+    if not extremes:
+        return cnt, tot
+    # sparse tables: level j covers [i, i + 2^j); every frame [lo, hi)
+    # is the union of two (overlapping) level-floor(log2(len)) blocks
+    mins = [vs]
+    maxs = [vs]
+    while (1 << len(mins)) <= len(vs):
+        half = 1 << (len(mins) - 1)
+        mins.append(np.minimum(mins[-1][:-half], mins[-1][half:]))
+        maxs.append(np.maximum(maxs[-1][:-half], maxs[-1][half:]))
+    lev = np.frexp(cnt.astype(np.float64))[1] - 1  # floor(log2), cnt >= 1
+    mn = np.empty(len(cnt), dtype=vs.dtype)
+    mx = np.empty(len(cnt), dtype=vs.dtype)
+    for j in np.unique(lev):
+        m = lev == j
+        l_ = lo[m]
+        r_ = hi[m] - (1 << int(j))
+        mn[m] = np.minimum(mins[j][l_], mins[j][r_])
+        mx[m] = np.maximum(maxs[j][l_], maxs[j][r_])
+    return cnt, tot, mn, mx
 
 
 def sliding_window_agg(
@@ -103,17 +126,20 @@ def sliding_window_agg(
     window_us: int,
     chunk_us: int | None = None,
     num_buckets: int = 256,
+    extremes: bool = False,
 ):
     """For every row, count and sum of ``val_col`` over rows with the
     same ``key_col`` and ts in ``[ts - window_us, ts]`` (SQL
     ``RANGE BETWEEN window_us PRECEDING AND CURRENT ROW``, peers
-    included).
+    included).  ``extremes=True`` adds the frame's min and max
+    (sparse-table RMQ inside the same bucket kernel — no extra
+    exchange).
 
     ``ds`` columns: ``id_col`` (int64, carried through), ``key_col``
     (int64), ``ts_col`` (int64 units of your choice), ``val_col``
     (numeric; use scaled integers when exact SQL parity matters).
-    Returns a Dataset with (id_col, ``w_count``, ``w_sum``), one row per
-    input row.
+    Returns a Dataset with (id_col, ``w_count``, ``w_sum``[, ``w_min``,
+    ``w_max``]), one row per input row.
 
     Scale: rows shuffle ONCE by hash(key, ts // chunk_us); rows in the
     trailing ``window_us`` of each chunk are additionally replicated as
@@ -162,10 +188,14 @@ def sliding_window_agg(
         val = batch.column("val").to_numpy(zero_copy_only=False)
         owned = batch.column("owned").to_numpy(zero_copy_only=False)
         rid = batch.column("rid").to_numpy(zero_copy_only=False)
-        cnt, tot = window_kernel(key, chunk, ts, val, owned, window_us, span_us)
-        return pa.table(
-            {id_col: pa.array(rid[owned]), "w_count": pa.array(cnt), "w_sum": pa.array(tot)}
+        out = window_kernel(
+            key, chunk, ts, val, owned, window_us, span_us, extremes=extremes
         )
+        cols = {id_col: pa.array(rid[owned]), "w_count": pa.array(out[0]), "w_sum": pa.array(out[1])}
+        if extremes:
+            cols["w_min"] = pa.array(out[2])
+            cols["w_max"] = pa.array(out[3])
+        return pa.table(cols)
 
     keyed = ds.map_batches(keyed_rows, batch_format="pyarrow", zero_copy_batch=True)
     return keyed.groupby("bucket").map_groups(group, batch_format="pyarrow")

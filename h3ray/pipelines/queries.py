@@ -2195,11 +2195,12 @@ ORACLE_SQL.update(
 
 
 def q_window_agg(sf_dir: str):
-    """Per-event sliding-window features: count and integer-cents sum of
-    ``value`` over the same user's events in the preceding 24 h
-    (inclusive, peers included) — the rate-limit / activity-feature shape
-    of a training-data pipeline.  Exactly SQL's RANGE frame; value is
-    scaled to cents on BOTH sides so the sum is integer-exact."""
+    """Per-event sliding-window features: count, integer-cents sum, min
+    and max of ``value`` over the same user's events in the preceding
+    24 h (inclusive, peers included) — the rate-limit / activity-feature
+    shape of a training-data pipeline.  Exactly SQL's RANGE frame; value
+    is scaled to cents on BOTH sides so every aggregate is
+    integer-exact (extremes via the kernel's sparse-table RMQ)."""
     from ..functions import timeseries
 
     hour_us = 3_600_000_000
@@ -2233,9 +2234,12 @@ def q_window_agg(sf_dir: str):
         id_col="event_id",
         window_us=24 * hour_us,
         num_buckets=64,
+        extremes=True,
     )
     return out.map_batches(
-        lambda b: b.rename_columns(["event_id", "w_count", "w_cents"]),
+        lambda b: b.rename_columns(
+            ["event_id", "w_count", "w_cents", "w_min_cents", "w_max_cents"]
+        ),
         batch_format="pyarrow",
     )
 
@@ -2292,7 +2296,11 @@ ORACLE_SQL.update(
             SELECT event_id,
                    COUNT(*) OVER w AS w_count,
                    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
-                        AS BIGINT) AS w_cents
+                        AS BIGINT) AS w_cents,
+                   MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                        AS w_min_cents,
+                   MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                        AS w_max_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 24 HOURS PRECEDING

@@ -55,17 +55,26 @@ def test_window_kernel_brute_force_with_halo():
         bmask = (k2 * 7 + c2 * 13) % 3
         cnt = np.empty(n, np.int64)
         tot = np.empty(n, np.int64)
+        mn = np.empty(n, np.int64)
+        mx = np.empty(n, np.int64)
         for b in range(3):
             sel = bmask == b
-            c_, t_ = timeseries.window_kernel(
-                k2[sel], c2[sel], t2[sel], v2[sel], owned[sel], w, c + w + 1
+            c_, t_, mn_, mx_ = timeseries.window_kernel(
+                k2[sel], c2[sel], t2[sel], v2[sel], owned[sel], w, c + w + 1,
+                extremes=True,
             )
             rows = src[sel][owned[sel]]
             cnt[rows] = c_
             tot[rows] = t_
+            mn[rows] = mn_
+            mx[rows] = mx_
         bc, bt = _brute_window(key, ts, val, w)
         assert np.array_equal(cnt, bc)
         assert np.array_equal(tot, bt)
+        # brute extremes over the same frames
+        for i in range(n):
+            fr = val[(key == key[i]) & (ts >= ts[i] - w) & (ts <= ts[i])]
+            assert mn[i] == fr.min() and mx[i] == fr.max()
 
 
 def test_window_kernel_ties_and_exact_bounds():
