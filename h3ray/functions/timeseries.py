@@ -53,9 +53,10 @@ def window_kernel(
     window_us: int,
     span_us: int,
     extremes: bool = False,
+    moments: bool = False,
 ):
-    """Vectorized sliding-window count+sum (and optionally min+max) for
-    the OWNED rows of one bucket.
+    """Vectorized sliding-window count+sum (and optionally sum-of-squares
+    and/or min+max) for the OWNED rows of one bucket.
 
     Rows belong to (key, chunk) segments; halo rows (``owned == False``)
     are last-window_us replicas from the previous chunk carrying the NEXT
@@ -66,12 +67,17 @@ def window_kernel(
     answer every row's frame.  With ``extremes=True`` a sparse-table RMQ
     (O(n log n) build of per-level pairwise min/max, two gathers per
     query grouped by level) additionally answers each frame's min and
-    max.  Returns (count, sum) or (count, sum, min, max) aligned to the
-    owned rows in input order.
+    max.  With ``moments=True`` a second cumsum over ``val**2`` answers
+    each frame's sum of squares — count+sum+sumsq are the mergeable
+    moments from which mean, variance and stddev derive exactly
+    (``var = sumsq/count - (sum/count)**2``).  Returns
+    (count, sum[, sumsq][, min, max]) aligned to the owned rows in
+    input order.
     """
     if len(key) == 0:
         z = np.zeros(0, dtype=np.int64)
-        return (z, z, z, z) if extremes else (z, z)
+        n = 2 + (1 if moments else 0) + (2 if extremes else 0)
+        return (z,) * n
     # dense (key, chunk) segment ids without np.unique(axis=0)'s
     # void-dtype sort: densify each part, pack, densify the pack
     kd = np.unique(key, return_inverse=True)[1].astype(np.int64)
@@ -94,8 +100,15 @@ def window_kernel(
     hi = np.searchsorted(cs, q, "right")
     cnt = (hi - lo).astype(np.int64)
     tot = cum[hi] - cum[lo]
+    out = [cnt, tot]
+    if moments:
+        # int64 squares overflow-check-free only because callers scale
+        # to bounded integers (cents); float vals square losslessly to
+        # float64 within 2^26 magnitude
+        cums = np.concatenate([[0], np.cumsum(vs * vs)])
+        out.append(cums[hi] - cums[lo])
     if not extremes:
-        return cnt, tot
+        return tuple(out)
     # sparse tables: level j covers [i, i + 2^j); every frame [lo, hi)
     # is the union of two (overlapping) level-floor(log2(len)) blocks
     mins = [vs]
@@ -113,7 +126,7 @@ def window_kernel(
         r_ = hi[m] - (1 << int(j))
         mn[m] = np.minimum(mins[j][l_], mins[j][r_])
         mx[m] = np.maximum(maxs[j][l_], maxs[j][r_])
-    return cnt, tot, mn, mx
+    return tuple(out) + (mn, mx)
 
 
 def sliding_window_agg(
@@ -127,19 +140,23 @@ def sliding_window_agg(
     chunk_us: int | None = None,
     num_buckets: int = 256,
     extremes: bool = False,
+    moments: bool = False,
 ):
     """For every row, count and sum of ``val_col`` over rows with the
     same ``key_col`` and ts in ``[ts - window_us, ts]`` (SQL
     ``RANGE BETWEEN window_us PRECEDING AND CURRENT ROW``, peers
     included).  ``extremes=True`` adds the frame's min and max
     (sparse-table RMQ inside the same bucket kernel — no extra
-    exchange).
+    exchange); ``moments=True`` adds the frame's sum of squares
+    (``w_sumsq``), from which mean / variance / stddev derive exactly
+    without a second pass (``mean = w_sum / w_count``,
+    ``var = w_sumsq / w_count - mean**2``).
 
     ``ds`` columns: ``id_col`` (int64, carried through), ``key_col``
     (int64), ``ts_col`` (int64 units of your choice), ``val_col``
     (numeric; use scaled integers when exact SQL parity matters).
-    Returns a Dataset with (id_col, ``w_count``, ``w_sum``[, ``w_min``,
-    ``w_max``]), one row per input row.
+    Returns a Dataset with (id_col, ``w_count``, ``w_sum``[, ``w_sumsq``]
+    [, ``w_min``, ``w_max``]), one row per input row.
 
     Scale: rows shuffle ONCE by hash(key, ts // chunk_us); rows in the
     trailing ``window_us`` of each chunk are additionally replicated as
@@ -189,12 +206,17 @@ def sliding_window_agg(
         owned = batch.column("owned").to_numpy(zero_copy_only=False)
         rid = batch.column("rid").to_numpy(zero_copy_only=False)
         out = window_kernel(
-            key, chunk, ts, val, owned, window_us, span_us, extremes=extremes
+            key, chunk, ts, val, owned, window_us, span_us,
+            extremes=extremes, moments=moments,
         )
         cols = {id_col: pa.array(rid[owned]), "w_count": pa.array(out[0]), "w_sum": pa.array(out[1])}
+        i = 2
+        if moments:
+            cols["w_sumsq"] = pa.array(out[i])
+            i += 1
         if extremes:
-            cols["w_min"] = pa.array(out[2])
-            cols["w_max"] = pa.array(out[3])
+            cols["w_min"] = pa.array(out[i])
+            cols["w_max"] = pa.array(out[i + 1])
         return pa.table(cols)
 
     keyed = ds.map_batches(keyed_rows, batch_format="pyarrow", zero_copy_batch=True)

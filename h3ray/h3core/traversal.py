@@ -620,6 +620,48 @@ def grid_disk_walk(origins: np.ndarray, k: int):
     order = np.argsort(rows, kind="stable")
     return rows[order], cells[order], dist[order]
 
+def are_neighbor_cells(origin: np.ndarray, dest: np.ndarray):
+    """Vectorized H3 areNeighborCells: True where ``dest`` is one of
+    ``origin``'s six (five for pentagons) immediate neighbors.
+
+    Follows the C API's error contract (h3lib areNeighborCells): a cell
+    equal to itself is NOT a neighbor but not an error; differing
+    resolutions are error 2 (E_RES_MISMATCH analog); invalid cells are
+    error 1 (E_CELL_INVALID analog).  Returns (neighbor: bool,
+    error: int8) aligned to input rows; neighbor is False wherever
+    error != 0.
+
+    Implementation is membership in the origin's direction-1..6
+    neighbor set via ``neighbor_rotations`` (the same primitive the C
+    gridDisk membership fallback uses), dispatched per resolution
+    group; E_PENTAGON rows from deleted-subsequence moves are simply
+    non-matches, exactly as gridDisk skips them.
+    """
+    o = np.asarray(origin, dtype=np.uint64)
+    d = np.asarray(dest, dtype=np.uint64)
+    if o.shape != d.shape:
+        raise ValueError("origin and dest must be the same length")
+    n = len(o)
+    out = np.zeros(n, dtype=bool)
+    err = np.zeros(n, dtype=np.int8)
+    valid = bits.is_valid_cell(o) & bits.is_valid_cell(d)
+    err[~valid] = 1
+    res_o = bits.get_resolution(o).astype(np.int64)
+    res_d = bits.get_resolution(d).astype(np.int64)
+    mismatch = valid & (res_o != res_d)
+    err[mismatch] = 2
+    live = valid & ~mismatch & (o != d)
+    for r in np.unique(res_o[live]):
+        sel = live & (res_o == r)
+        osel, dsel = o[sel], d[sel]
+        hit = np.zeros(len(osel), dtype=bool)
+        for direction in range(1, 7):
+            nb, _, perr = neighbor_rotations(osel, direction)
+            hit |= (perr == 0) & (nb == dsel)
+        out[sel] = hit
+    return out, err
+
+
 if not _HAVE_CACHED:
     _calibrate_pentagon_neighbor_rots()
     tablecache.save(

@@ -544,6 +544,23 @@ def grid_distance(
     return _append(batch, out_col + "_ok", pa.array(ok))
 
 
+def are_neighbor_cells(
+    batch: pa.Table, a_col: str = "cell", b_col: str = "other",
+    out_col: str = "neighbor",
+) -> pa.Table:
+    """Pairwise H3 areNeighborCells (C API parity: self is not a
+    neighbor, res mismatch / invalid cells flag per-row errors).
+    Appends {out_col: bool, out_col+'_err': int8 (0 ok, 1 invalid,
+    2 res mismatch)}."""
+    from .h3core import traversal
+
+    a = _u64(batch, a_col)
+    b = _u64(batch, b_col)
+    nb, err = traversal.are_neighbor_cells(a, b)
+    batch = _append(batch, out_col, pa.array(nb))
+    return _append(batch, out_col + "_err", pa.array(err))
+
+
 def grid_path_cells(
     batch: pa.Table, a_col: str = "cell", b_col: str = "other",
     out_col: str = "path",

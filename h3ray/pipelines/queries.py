@@ -2341,6 +2341,134 @@ QUERIES.update({"asof_chunked": q_asof_chunked})
 ORACLE_SQL.update({"asof_chunked": ORACLE_SQL["asof_join"]})
 
 
+def q_window_moments(sf_dir: str):
+    """Windowed moments: count, sum and sum-of-squares of integer cents
+    over the same 24 h per-user RANGE frame as q_window_agg, plus the
+    integer-exact population-variance numerator
+    ``w_var_num = w_count * w_sumsq - w_cents**2`` (variance =
+    w_var_num / w_count**2; kept as the numerator so the value oracle
+    stays ints-only).  Bounds: cents <= ~6e4, frames <= ~1e2 rows, so
+    w_var_num <= ~4e13 — far inside int64 on both engines."""
+    from ..functions import timeseries
+
+    hour_us = 3_600_000_000
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": pa.array(ts),
+                "cents": pa.array(np.floor(val * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = timeseries.sliding_window_agg(
+        ds,
+        key_col="user_id",
+        ts_col="ts_us",
+        val_col="cents",
+        id_col="event_id",
+        window_us=24 * hour_us,
+        num_buckets=64,
+        moments=True,
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        cnt = batch.column("w_count").to_numpy(zero_copy_only=False)
+        tot = batch.column("w_sum").to_numpy(zero_copy_only=False)
+        ssq = batch.column("w_sumsq").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "w_count": pa.array(cnt),
+                "w_cents": pa.array(tot),
+                "w_sumsq": pa.array(ssq),
+                "w_var_num": pa.array(cnt * ssq - tot * tot),
+            }
+        )
+
+    return out.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_are_neighbor(sf_dir: str):
+    """areNeighborCells invariant oracle over constructed hexagon cells
+    (disk_size's constant-7 oracle already certifies no pentagons):
+    every ring-1 member of each event cell must be a neighbor (n_nb = 6),
+    every ring-2 member must not (n_far = 12), the relation must be
+    symmetric and self/err-free (all_ok).  SQL twin emits the constants."""
+    from ..h3core import traversal
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+        origin = cells[rows]
+        nb, err = traversal.are_neighbor_cells(origin, disk)
+        back, berr = traversal.are_neighbor_cells(disk, origin)
+        n = len(batch)
+        n_nb = np.bincount(rows[nb], minlength=n).astype(np.int64)
+        n_far = np.bincount(rows[(dist == 2) & ~nb], minlength=n).astype(np.int64)
+        bad = (err != 0) | (berr != 0) | (nb != back) | ((dist == 0) & nb)
+        all_ok = np.bincount(rows[bad], minlength=n) == 0
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "n_nb": pa.array(n_nb),
+                "n_far": pa.array(n_far),
+                "all_ok": pa.array(all_ok),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"are_neighbor": q_are_neighbor})
+ORACLE_SQL.update(
+    {
+        "are_neighbor": """
+            SELECT event_id, CAST(6 AS BIGINT) AS n_nb,
+                   CAST(12 AS BIGINT) AS n_far, TRUE AS all_ok
+            FROM events
+        """,
+    }
+)
+
+
+QUERIES.update({"window_moments": q_window_moments})
+ORACLE_SQL.update(
+    {
+        "window_moments": """
+            WITH c AS (
+                SELECT event_id, user_id, ts,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            )
+            , m AS (
+                -- DuckDB windowed SUM(BIGINT) yields DOUBLE: cast back
+                -- before the variance arithmetic or precision drifts
+                SELECT event_id,
+                       COUNT(*) OVER w AS w_count,
+                       CAST(SUM(cents) OVER w AS BIGINT) AS w_cents,
+                       CAST(SUM(cents * cents) OVER w AS BIGINT) AS w_sumsq
+                FROM c
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 24 HOURS PRECEDING
+                             AND CURRENT ROW)
+            )
+            SELECT event_id, w_count, w_cents, w_sumsq,
+                   w_count * w_sumsq - w_cents * w_cents AS w_var_num
+            FROM m
+        """,
+    }
+)
+
+
 # --- child position family (H3 v4 API; beyond the reference surface) --------
 
 

@@ -141,6 +141,57 @@ def test_sliding_window_agg_dataset(ray_session, num_buckets):
     assert np.array_equal(out["w_sum"].to_numpy(), bt)
 
 
+def test_window_kernel_moments_brute_force():
+    # sumsq is the third mergeable moment: brute-force parity, and the
+    # derived variance matches numpy's population var on every frame
+    rng = np.random.default_rng(17)
+    key = rng.integers(0, 4, 200).astype(np.int64)
+    ts = rng.integers(0, 600, 200).astype(np.int64)
+    val = rng.integers(-9, 60, 200).astype(np.int64)
+    chunk = np.zeros(200, np.int64)
+    owned = np.ones(200, bool)
+    cnt, tot, ssq, mn, mx = timeseries.window_kernel(
+        key, chunk, ts, val, owned, 80, 1000, extremes=True, moments=True
+    )
+    for i in range(200):
+        fr = val[(key == key[i]) & (ts >= ts[i] - 80) & (ts <= ts[i])]
+        assert ssq[i] == (fr.astype(np.int64) ** 2).sum()
+        var = ssq[i] / cnt[i] - (tot[i] / cnt[i]) ** 2
+        assert var == pytest.approx(np.var(fr), abs=1e-9)
+        assert mn[i] == fr.min() and mx[i] == fr.max()
+
+
+def test_sliding_window_agg_moments_dataset(ray_session):
+    import ray
+
+    t = _events_table(n=400, users=5, seed=21)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = (
+        timeseries.sliding_window_agg(
+            ds,
+            key_col="uid",
+            ts_col="t",
+            val_col="v",
+            id_col="rid",
+            window_us=300,
+            chunk_us=500,
+            num_buckets=8,
+            moments=True,
+        )
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    key = t.column("uid").to_numpy()
+    ts = t.column("t").to_numpy()
+    val = t.column("v").to_numpy()
+    ssq = np.empty(len(key), np.int64)
+    for i in range(len(key)):
+        fr = val[(key == key[i]) & (ts >= ts[i] - 300) & (ts <= ts[i])]
+        ssq[i] = (fr.astype(np.int64) ** 2).sum()
+    assert np.array_equal(out["w_sumsq"].to_numpy(), ssq)
+
+
 def test_sliding_window_rejects_small_chunk():
     with pytest.raises(ValueError, match="chunk_us"):
         timeseries.sliding_window_agg(

@@ -317,3 +317,40 @@ def test_child_pos_res_domain():
     assert not ok.any() and (c == p).all()
     c, ok = bits.child_pos_to_cell(p, np.array([0]), -1)
     assert not ok.any()
+
+
+def test_are_neighbor_cells_exhaustive_res2():
+    # membership parity with grid_disk k=1 over every (cell, candidate)
+    # pair drawn from ring-1 and ring-2 of every res-2 cell (incl. all
+    # 12 pentagons), plus self-pairs
+    cells = all_cells_at_res(2)
+    rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+    origin = cells[rows]
+    nb, err = traversal.are_neighbor_cells(origin, disk)
+    assert (err == 0).all()
+    assert np.array_equal(nb, dist == 1)
+    # symmetry on the true pairs
+    m = dist == 1
+    back, berr = traversal.are_neighbor_cells(disk[m], origin[m])
+    assert (berr == 0).all() and back.all()
+
+
+def test_are_neighbor_cells_errors_and_mixed_res():
+    a = faceijk.latlng_to_cell(np.array([40.0, 40.0]), np.array([-70.0, -70.0]), 7)
+    parent = bits.cell_to_parent(a, 6)
+    # res mismatch -> err 2; invalid -> err 1; self -> ok but False
+    nb, err = traversal.are_neighbor_cells(
+        np.array([a[0], a[0], a[0]], dtype=np.uint64),
+        np.array([parent[0], np.uint64(0), a[0]], dtype=np.uint64),
+    )
+    assert err.tolist() == [2, 1, 0]
+    assert nb.tolist() == [False, False, False]
+    # mixed-resolution batch dispatches per res group correctly
+    rows7, disk7, dist7 = traversal.grid_disk_distances(a, 1)
+    rows6, disk6, dist6 = traversal.grid_disk_distances(parent, 1)
+    og = np.concatenate([a[rows7], parent[rows6]])
+    cand = np.concatenate([disk7, disk6])
+    expect = np.concatenate([dist7 == 1, dist6 == 1])
+    nb, err = traversal.are_neighbor_cells(og, cand)
+    assert (err == 0).all()
+    assert np.array_equal(nb, expect)

@@ -40,7 +40,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
     sys.path.insert(0, "/root/repo")
@@ -58,6 +58,8 @@ def main(sf_dir: str):
     sqls = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             res = fn(sf_dir)
             df = to_pandas(res)
@@ -91,14 +93,20 @@ def main(sf_dir: str):
             failures += 1
             continue
         print(f"{name:24s} OK ({len(a)} rows)")
-    # smoke entry()
-    ds = e.entry()
-    n = ds.count() if hasattr(ds, "count") else len(ds)
-    print(f"entry(): {n} rows")
+    if not only:
+        # smoke entry()
+        ds = e.entry()
+        n = ds.count() if hasattr(ds, "count") else len(ds)
+        print(f"entry(): {n} rows")
     print("FAILURES:", failures)
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(1 if main(sf) else 0)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    raise SystemExit(1 if main(sf, only) else 0)
