@@ -704,6 +704,71 @@ def run_ts_scale():
         ray.shutdown()
 
 
+def run_ivf_recall():
+    """IVF approximation quality: recall@10 of the persisted
+    bucket-partitioned index vs brute-force ground truth, swept over
+    n_probe (1..n_centroids) on the sf embeddings table.  The probes=all
+    point must be 1.0 exactly (the ivf_recall driver query's oracle
+    invariant); the interior points are the measured accuracy/IO
+    trade-off a user tunes against bucket-read counts."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray
+
+    from h3ray.functions import ann as ann_fns
+    from h3ray.pipelines.queries import _embeddings_ds, _query_vectors
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        k = 10
+        n_centroids = 16
+        sample_ids, S = _query_vectors(SF_DIR, 2048)
+        cent = ann_fns.train_centroids(S[:: max(1, len(S) // 256)], n_centroids)
+        ids, Q = sample_ids[:50], S[:50]
+        exact = ann_fns.bruteforce_topk(_embeddings_ds(SF_DIR), ids, Q, k=k)
+        index_dir = tempfile.mkdtemp(prefix="h3ray_ivfbench_")
+        try:
+            t0 = time.perf_counter()
+            ann_fns.ivf_build(_embeddings_ds(SF_DIR), cent, index_dir)
+            build_s = time.perf_counter() - t0
+            curve = {}
+            for n_probe in (1, 2, 4, 8, n_centroids):
+                t0 = time.perf_counter()
+                approx, n_read = ann_fns.ivf_topk_partitioned(
+                    index_dir, ids, Q, cent, k=k, n_probe=n_probe
+                )
+                dt = time.perf_counter() - t0
+                r = ann_fns.recall_at_k(approx, exact)
+                hits = r.column("hits").to_numpy(zero_copy_only=False).sum()
+                truth = r.column("truth_k").to_numpy(zero_copy_only=False).sum()
+                curve[str(n_probe)] = {
+                    "recall": round(float(hits) / float(truth), 4),
+                    "buckets_read": n_read,
+                    "sec": round(dt, 3),
+                }
+        finally:
+            shutil.rmtree(index_dir, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "metric": "ivf recall@10 vs n_probe",
+                    "queries_n": len(ids),
+                    "k": k,
+                    "n_centroids": n_centroids,
+                    "build_sec": round(build_s, 3),
+                    "curve": curve,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -715,5 +780,7 @@ if __name__ == "__main__":
         run_pip_scale()
     elif "--ts-scale" in sys.argv:
         run_ts_scale()
+    elif "--ivf-recall" in sys.argv:
+        run_ivf_recall()
     else:
         run_bench()

@@ -31,18 +31,33 @@ def _normalize(x: np.ndarray) -> np.ndarray:
 def make_bruteforce_topk_kernel(queries_ref, k: int = 10,
                                 emb_col: str = "embedding",
                                 id_col: str = "vec_id"):
-    """queries_ref: ray.ObjectRef of (query_ids, normalized query matrix).
-    Emits per-batch partial top-k rows (query_id, vec_id, cosine)."""
+    """queries_ref: ray.ObjectRef of (query_ids, normalized query matrix)
+    or of (query_ids, qmat, centroids, probe_mask) — the 4-tuple form is
+    the per-query IVF probe restriction: each batch row's bucket is
+    re-derived (same argmax as the build assignment) and similarities
+    are masked to -inf for (query, bucket) pairs outside the query's
+    probe set, so a batched multi-query search returns exactly what each
+    query's own probed buckets contain (reading the UNION of buckets
+    must not leak unprobed buckets into a query's result — that would
+    silently overstate IVF recall).  Emits per-batch partial top-k rows
+    (query_id, vec_id, cosine)."""
     import ray
 
     def kernel(batch: pa.Table) -> pa.Table:
         q = queries_ref
         if isinstance(q, ray.ObjectRef):
             q = ray.get(q)
-        qids, qmat = q
+        centroids = probe_mask = None
+        if len(q) == 4:
+            qids, qmat, centroids, probe_mask = q
+        else:
+            qids, qmat = q
         x = _normalize(_to_matrix(batch, emb_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sim = qmat @ x.T  # (Q, B)
+        if probe_mask is not None:
+            bucket = np.argmax(x @ centroids.T, axis=1)
+            sim = np.where(probe_mask[:, bucket], sim, -np.inf)
         Q, B = sim.shape
         kk = min(k, B)
         # block-local EXACT top-k under the same total order the global
@@ -56,11 +71,17 @@ def make_bruteforce_topk_kernel(queries_ref, k: int = 10,
         ).reshape(Q, B)[:, :kk]
         bi = (order % B).reshape(-1)
         qi = np.repeat(np.arange(Q), kk)
+        cos = sim[qi, bi]
+        if probe_mask is not None:
+            # masked (unprobed-bucket) pairs must not surface as
+            # candidates even when a query's probed rows run short
+            keep = ~np.isneginf(cos)
+            qi, bi, cos = qi[keep], bi[keep], cos[keep]
         return pa.table(
             {
                 "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
                 "vec_id": pa.array(ids[bi]),
-                "cosine": pa.array(sim[qi, bi]),
+                "cosine": pa.array(cos),
             }
         )
 
@@ -232,6 +253,31 @@ def ivf_build(ds, centroids: np.ndarray, index_dir: str,
     return index_dir
 
 
+def recall_at_k(approx: pa.Table, exact: pa.Table) -> pa.Table:
+    """Per-query recall of an approximate top-k result against exact
+    ground truth: hits = |approx ∩ exact| per query_id (both tables are
+    (query_id, vec_id, ...) as returned by the top-k searches; they are
+    small — Q*k rows — so this is a driver-side metric, not a stage).
+    Returns (query_id, hits, truth_k) sorted by query_id; recall@k =
+    hits / truth_k.  Vectorized: one composite-key isin + bincount."""
+    aq = approx.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    av = approx.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    eq = exact.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ev = exact.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    qs = np.unique(np.concatenate([aq, eq]))
+    m = np.int64(max(av.max(initial=0), ev.max(initial=0)) + 1)
+    qidx_a = np.searchsorted(qs, aq)
+    qidx_e = np.searchsorted(qs, eq)
+    hit = np.isin(qidx_a * m + av, qidx_e * m + ev)
+    return pa.table(
+        {
+            "query_id": pa.array(qs),
+            "hits": pa.array(np.bincount(qidx_a[hit], minlength=len(qs)).astype(np.int64)),
+            "truth_k": pa.array(np.bincount(qidx_e, minlength=len(qs)).astype(np.int64)),
+        }
+    )
+
+
 def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
                          centroids: np.ndarray, k: int = 10, n_probe: int = 4,
                          emb_col: str = "embedding", id_col: str = "vec_id"):
@@ -242,7 +288,8 @@ def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
     import ray
 
     qmat = _normalize(np.asarray(query_matrix, dtype=np.float64))
-    probes = np.argsort(-(qmat @ np.asarray(centroids).T), axis=1)[:, :n_probe]
+    cent = np.asarray(centroids, dtype=np.float64)
+    probes = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
     wanted = sorted(int(b) for b in np.unique(probes))
     import glob as _glob
 
@@ -253,7 +300,11 @@ def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
     ]
     paths = [f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
     ds = ray.data.read_parquet(paths, columns=[id_col, emb_col])
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    # per-query probe restriction: batched queries read the UNION of
+    # probed buckets, but each query only scores rows of its OWN probes
+    mask = np.zeros((len(qmat), len(cent)), dtype=bool)
+    np.put_along_axis(mask, probes, True, axis=1)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, cent, mask))
     kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
     partials = ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
     return _reduce_topk(partials, k), len(dirs)

@@ -901,6 +901,48 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ivf_recall(sf_dir: str):
+    """Recall@k metric for the IVF index, value-oracled through its
+    exhaustive-probe invariant: with n_probe = n_centroids every bucket
+    is searched, so IVF must recover the brute-force top-k EXACTLY
+    (same kernel, same (cosine DESC, vec_id ASC) total order) — recall
+    hits == truth_k == k for every query.  Partial-probe recall curves
+    are measured in bench.py --ivf-recall (approximation quality is a
+    measured number, not an oracle)."""
+    import tempfile
+
+    from ..functions import ann as ann_fns
+
+    k = 10
+    sample_ids, S = _query_vectors(sf_dir, 2048)
+    cent = ann_fns.train_centroids(S[:: max(1, len(S) // 256)], 16)
+    ids, Q = sample_ids[:15], S[:15]
+    exact = ann_fns.bruteforce_topk(_embeddings_ds(sf_dir), ids, Q, k=k)
+    index_dir = tempfile.mkdtemp(prefix="h3ray_ivfrec_")
+    try:
+        ann_fns.ivf_build(_embeddings_ds(sf_dir), cent, index_dir)
+        approx, _ = ann_fns.ivf_topk_partitioned(
+            index_dir, ids, Q, cent, k=k, n_probe=len(cent)
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+    return ann_fns.recall_at_k(approx, exact)
+
+
+QUERIES.update({"ivf_recall": q_ivf_recall})
+ORACLE_SQL.update(
+    {
+        "ivf_recall": """
+            SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS hits,
+                   CAST(10 AS BIGINT) AS truth_k
+            FROM embeddings ORDER BY vec_id LIMIT 15
+        """,
+    }
+)
+
+
 def q_media_features(sf_dir: str):
     """Value-oracled multimodal decode: every interleaved media span runs
     through the actor-pool decoder exactly once and reports the decoded

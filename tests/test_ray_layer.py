@@ -961,6 +961,40 @@ def test_ivf_partitioned_index_prunes_io(ray_session, tmp_path):
     assert all(got[int(q)] == int(q) for q in ids)  # self top-1 recall
 
 
+def test_ivf_per_query_probe_restriction(ray_session, tmp_path):
+    """Batched searches read the UNION of probed buckets, but a query
+    must only score rows of its OWN probes: q's true NN (vector a) lives
+    in the unprobed bucket at n_probe=1, so the result must be b — and a
+    at n_probe=2.  recall_at_k quantifies exactly that (1/1 vs 0/1)."""
+    import ray
+    import pyarrow as pa
+
+    from h3ray.functions import ann
+
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    vecs = np.array([[0.75, 0.66], [0.44, 0.9]])  # a -> bucket0, b -> bucket1
+    q = np.array([[0.7, 0.71]])  # nearest centroid = bucket1; true NN = a
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.array([100, 200], dtype=np.int64)),
+            "embedding": pa.array(list(vecs)),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    idx = str(tmp_path / "ivf2")
+    ann.ivf_build(ds, cent, idx)
+    exact = ann.bruteforce_topk(ds, [7], q, k=1)
+    assert exact.column("vec_id").to_pylist() == [100]
+    top1, _ = ann.ivf_topk_partitioned(idx, [7], q, cent, k=1, n_probe=1)
+    assert top1.column("vec_id").to_pylist() == [200]  # best within probe only
+    top2, _ = ann.ivf_topk_partitioned(idx, [7], q, cent, k=1, n_probe=2)
+    assert top2.column("vec_id").to_pylist() == [100]
+    r1 = ann.recall_at_k(top1, exact)
+    r2 = ann.recall_at_k(top2, exact)
+    assert r1.column("hits").to_pylist() == [0] and r1.column("truth_k").to_pylist() == [1]
+    assert r2.column("hits").to_pylist() == [1]
+
+
 def test_embedding_dedup_pipeline_with_hot_bucket(ray_session):
     """Triangle-salted embedding near-dup: pipeline pair set == brute-force
     pair set, including buckets forced over the hot threshold (each
