@@ -84,20 +84,17 @@ def _v2d_intersect(p0x, p0y, p1x, p1y, e0, e1):
     return p0x + t * s1x, p0y + t * s1y
 
 
-def cell_boundary(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Boundary vertices of each cell.
-
-    Returns (lats_deg, lngs_deg, offsets) where offsets has len(h)+1 entries
-    and cell i's ccw vertex ring is ``lats[offsets[i]:offsets[i+1]]``.
-    """
-    h = np.asarray(h, dtype=np.uint64)
-    n = h.shape[0]
-    if n == 0:
-        return np.empty(0), np.empty(0), np.zeros(1, dtype=np.int64)
+def _true_vertices_internal(h: np.ndarray):
+    """Shared first stage of boundary construction: the 6 (5 for
+    pentagons) TRUE topological corner vertices of each cell in radians,
+    plus the substrate intermediates the distortion pass needs.  Returns
+    (vlat, vlng [n,6] radians, nv, face_c, adj_res, pent, ciii, verts,
+    vert_face, vert_coord, vert_overage)."""
     res = bits.get_resolution(h).astype(np.int64)
     pent = bits.is_pentagon(h)
     face_c, coord_c, _ = cell_to_faceijk(h)
     face_c, coord_s, adj_res = _substrate_center(face_c, coord_c, res)
+    n = h.shape[0]
 
     nv = np.where(pent, 5, 6)
     # vertex coords on the substrate, shape (n, 6, 3); pentagon slot 5 unused
@@ -131,6 +128,38 @@ def cell_boundary(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     vlat, vlng = hex2d_to_geo(vx, vy, vert_face.reshape(-1), np.repeat(adj_res, 6), True)
     vlat = vlat.reshape(n, 6)
     vlng = vlng.reshape(n, 6)
+    return (
+        vlat, vlng, nv, face_c, adj_res, pent, ciii, verts,
+        vert_face, vert_coord, vert_overage,
+    )
+
+
+def cell_true_vertices(h: np.ndarray):
+    """The topological corner vertices of each cell (the H3 vertex-mode
+    corners, NOT the distortion-inserted boundary ring): (lats_deg,
+    lngs_deg) of shape (n, 6) in ccw boundary order — pentagon rows use
+    slots 0..4 — plus nv (5 or 6 per row)."""
+    h = np.asarray(h, dtype=np.uint64)
+    if h.shape[0] == 0:
+        return np.empty((0, 6)), np.empty((0, 6)), np.zeros(0, dtype=np.int64)
+    vlat, vlng, nv = _true_vertices_internal(h)[:3]
+    return np.degrees(vlat), np.degrees(vlng), nv.astype(np.int64)
+
+
+def cell_boundary(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Boundary vertices of each cell.
+
+    Returns (lats_deg, lngs_deg, offsets) where offsets has len(h)+1 entries
+    and cell i's ccw vertex ring is ``lats[offsets[i]:offsets[i+1]]``.
+    """
+    h = np.asarray(h, dtype=np.uint64)
+    n = h.shape[0]
+    if n == 0:
+        return np.empty(0), np.empty(0), np.zeros(1, dtype=np.int64)
+    (
+        vlat, vlng, nv, face_c, adj_res, pent, ciii, verts,
+        vert_face, vert_coord, vert_overage,
+    ) = _true_vertices_internal(h)
 
     # --- Class III / pentagon edge-crossing distortion vertices -------------
     # transition t (1..6) goes from vertex (t-1)%nv to vertex t%nv and may

@@ -544,6 +544,35 @@ def grid_distance(
     return _append(batch, out_col + "_ok", pa.array(ok))
 
 
+def cells_to_vertexes(
+    batch: pa.Table, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "vertexes", flatten: bool = False,
+) -> pa.Table:
+    """Canonical vertex indexes per cell (H3 v4 cellToVertexes; beyond
+    the reference surface — h3ronpy only parses/validates/owns vertexes,
+    h3ronpy/python/h3ronpy/__init__.py:132).  Cells sharing a corner get
+    the IDENTICAL uint64 (min-sharing-cell owner rule), making the
+    output a corner join key.  flatten=False: large_list<u64> per row in
+    ccw corner order (6, or 5 for pentagons); flatten=True: exploded
+    (row-repeated) rows with an int64 ``out_col`` column."""
+    from .h3core import vertex as vertex_mod
+
+    cells = _u64(batch, cell_col)
+    rows, vx = vertex_mod.cells_to_vertexes(cells)
+    if flatten:
+        return pa.table(
+            {
+                **{n: batch.column(n).take(pa.array(rows)) for n in batch.column_names},
+                out_col: pa.array(vx.astype(np.int64)),
+            }
+        )
+    counts = np.bincount(rows, minlength=len(cells))
+    offsets = np.zeros(len(cells) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(vx.astype(np.int64)))
+    return _append(batch, out_col, lists)
+
+
 def are_neighbor_cells(
     batch: pa.Table, a_col: str = "cell", b_col: str = "other",
     out_col: str = "neighbor",

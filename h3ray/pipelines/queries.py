@@ -2482,6 +2482,59 @@ ORACLE_SQL.update(
 )
 
 
+def q_cell_vertexes(sf_dir: str):
+    """cellToVertexes canonicality invariants over constructed hexagon
+    cells: 6 distinct valid vertexes per cell (n_v), every ring-1
+    neighbor shares EXACTLY 2 of them (an edge has two endpoints:
+    n_shared = 12 over the 6 neighbors), and each vertex's owner cell
+    is the cell itself or one of those neighbors (all_ok).  Canonical
+    ownership is what these certify: all three sharers derive the
+    identical uint64 per corner.  SQL twin emits the constants."""
+    from ..h3core import traversal, vertex as vertex_mod
+    from ..vector import vertex_owner
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(cells)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+        m = dist == 1
+        nbr = disk[m].reshape(n, 6)  # hexagons only (disk_size oracle)
+        rc, vc = vertex_mod.cells_to_vertexes(cells)
+        vc = vc.reshape(n, 6)
+        rn, vn = vertex_mod.cells_to_vertexes(nbr.reshape(-1))
+        vn = vn.reshape(n, 6, 6)
+        shared = (vc[:, None, :, None] == vn[:, :, None, :]).any(-1).sum((1, 2))
+        own = vertex_owner(vc.reshape(-1)).reshape(n, 6)
+        own_ok = (
+            (own == cells[:, None]) | (own[:, :, None] == nbr[:, None, :]).any(-1)
+        ).all(1)
+        distinct6 = (np.diff(np.sort(vc, axis=1), axis=1) != 0).all(1)
+        valid = bits.is_valid_vertex(vc.reshape(-1)).reshape(n, 6).all(1)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "n_v": pa.array(np.full(n, 6, dtype=np.int64) * valid),
+                "n_shared": pa.array(shared.astype(np.int64)),
+                "all_ok": pa.array(own_ok & distinct6),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"cell_vertexes": q_cell_vertexes})
+ORACLE_SQL.update(
+    {
+        "cell_vertexes": """
+            SELECT event_id, CAST(6 AS BIGINT) AS n_v,
+                   CAST(12 AS BIGINT) AS n_shared, TRUE AS all_ok
+            FROM events
+        """,
+    }
+)
+
+
 QUERIES.update({"window_moments": q_window_moments})
 ORACLE_SQL.update(
     {

@@ -112,16 +112,20 @@ def cells_to_wkb_points(cells, radians: bool = False):
 
 
 def vertexes_to_wkb_points(vertexes, radians: bool = False):
-    """Vertex indexes -> point WKB: a vertex's position is the owner cell's
-    boundary vertex of that number."""
+    """Vertex indexes -> point WKB: a vertex's position is the owner
+    cell's TRUE corner of that number (h3lib vertexToLatLng semantics —
+    vertex numbers index topological corners, never the Class III
+    distortion points the assembled boundary ring interleaves)."""
     vx = np.asarray(vertexes, dtype=np.uint64)
     owner = vertex_owner(vx)
     vert_num = bits.get_reserved(vx).astype(np.int64)
-    lat, lng, off = boundary.cell_boundary(owner)
-    counts = np.diff(off)
-    v = np.minimum(vert_num, counts - 1)
-    idx = off[:-1] + v
-    return wkb.dumps_points_batch(lng[idx], lat[idx])
+    vlat, vlng, nv = boundary.cell_true_vertices(owner)
+    rows = np.arange(len(vx))
+    v = np.minimum(vert_num, nv - 1)
+    lat, lng = vlat[rows, v], vlng[rows, v]
+    if radians:
+        lat, lng = np.radians(lat), np.radians(lng)
+    return wkb.dumps_points_batch(lng, lat)
 
 
 def directededges_to_wkb_linestrings(edges, radians: bool = False):
@@ -278,6 +282,23 @@ def vertex_owner(vertexes) -> np.ndarray:
     return (vx & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (
         _U(bits.MODE_CELL) << _U(59)
     )
+
+
+def cells_to_vertexes(cells):
+    """Canonical vertex indexes of each cell: (rows, vertexes) jagged
+    pair, ccw corner order (H3 v4 cellToVertexes; see h3core/vertex.py
+    for the canonical-owner construction)."""
+    from .h3core import vertex as vertex_mod
+
+    return vertex_mod.cells_to_vertexes(np.asarray(cells, dtype=np.uint64))
+
+
+def cell_to_vertex(cells, vertex_num: int) -> np.ndarray:
+    """Canonical vertex ``vertex_num`` of each cell (0 when out of
+    range, e.g. 5 on a pentagon)."""
+    from .h3core import vertex as vertex_mod
+
+    return vertex_mod.cell_to_vertex(np.asarray(cells, dtype=np.uint64), vertex_num)
 
 
 # --- WKB -> cells (polyfill) ------------------------------------------------

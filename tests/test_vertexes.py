@@ -1,0 +1,113 @@
+"""Canonical vertex enumeration (h3core/vertex.py): cellToVertexes /
+cellToVertex with the min-sharing-cell owner rule.
+
+The Euler test is the canonicality proof: over EVERY cell of a whole
+resolution (including all 12 pentagons and every icosahedron seam), the
+distinct canonical vertexes must count exactly V = 2F - 4 (3-regular
+corner graph: 6(F-12) + 5*12 = 3V) and every vertex must be emitted by
+exactly 3 cells.  Any owner disagreement between two sharers would
+inflate the distinct count and break the degree-3 invariant.
+"""
+
+import numpy as np
+import pytest
+
+from h3ray.h3core import bits, boundary, faceijk, traversal, vertex
+
+
+@pytest.mark.parametrize("res", [0, 1, 2])
+def test_euler_canonical_vertex_count(res):
+    from .test_h3core import all_cells_at_res
+
+    cells = all_cells_at_res(res)
+    rows, vx = vertex.cells_to_vertexes(cells)
+    pent = bits.is_pentagon(cells)
+    counts = np.bincount(rows, minlength=len(cells))
+    assert (counts[~pent] == 6).all() and (counts[pent] == 5).all()
+    assert bits.is_valid_vertex(vx).all()
+    uniq, inv = np.unique(vx, return_inverse=True)
+    assert len(uniq) == 2 * len(cells) - 4
+    assert (np.bincount(inv) == 3).all()
+
+
+@pytest.mark.parametrize("res", [5, 15])
+def test_neighbors_share_two_vertices(res):
+    rng = np.random.default_rng(3)
+    cells = faceijk.latlng_to_cell(
+        rng.uniform(-85, 85, 60), rng.uniform(-180, 180, 60), res
+    )
+    rows, disk, dist = traversal.grid_disk_distances(cells, 1)
+    m = dist == 1
+    ra, va = vertex.cells_to_vertexes(cells[rows[m]])
+    rb, vb = vertex.cells_to_vertexes(disk[m])
+    offa = np.r_[0, np.cumsum(np.bincount(ra))]
+    offb = np.r_[0, np.cumsum(np.bincount(rb))]
+    for i in range(len(offa) - 1):
+        shared = set(va[offa[i]:offa[i + 1]]) & set(vb[offb[i]:offb[i + 1]])
+        assert len(shared) == 2  # an edge has exactly two endpoints
+
+
+def test_vertex_positions_match_owner_corners():
+    # the emitting cell's corner and the owner's corner are the same
+    # point (bit-identical through independent faceijk paths)
+    rng = np.random.default_rng(11)
+    cells = faceijk.latlng_to_cell(
+        rng.uniform(-85, 85, 100), rng.uniform(-180, 180, 100), 9
+    )
+    rows, vx = vertex.cells_to_vertexes(cells)
+    from h3ray.vector import vertex_owner
+
+    own = vertex_owner(vx)
+    onum = bits.get_reserved(vx).astype(np.int64)
+    vlat, vlng, _ = boundary.cell_true_vertices(cells)
+    olat, olng, _ = boundary.cell_true_vertices(own)
+    k = np.concatenate([np.arange(c) for c in np.bincount(rows)])
+    r = np.arange(len(own))
+    assert np.allclose(vlat[rows, k], olat[r, onum], atol=1e-12)
+    assert np.allclose(vlng[rows, k], olng[r, onum], atol=1e-12)
+
+
+def test_cell_to_vertex_and_mixed_res():
+    cells9 = faceijk.latlng_to_cell(np.array([48.8]), np.array([2.35]), 9)
+    cells5 = faceijk.latlng_to_cell(np.array([48.8]), np.array([2.35]), 5)
+    mixed = np.concatenate([cells9, cells5])
+    rows, vx = vertex.cells_to_vertexes(mixed)
+    assert np.array_equal(np.bincount(rows), [6, 6])
+    for v in range(6):
+        got = vertex.cell_to_vertex(mixed, v)
+        assert got[0] == vx[rows == 0][v] and got[1] == vx[rows == 1][v]
+    # out-of-range vertex number -> 0
+    assert (vertex.cell_to_vertex(mixed, 6) == 0).all()
+    # pentagon: vertex 5 does not exist
+    p = bits.set_base_cell(bits.init_cell(1, 1), np.array([38], dtype=np.uint64))
+    p = bits.set_index_digit(p, 1, np.array([0], dtype=np.uint64))
+    assert vertex.cell_to_vertex(p, 4)[0] != 0
+    assert vertex.cell_to_vertex(p, 5)[0] == 0
+
+
+def test_vertexes_kernel_and_wkb_roundtrip():
+    import pyarrow as pa
+
+    import struct
+
+    from h3ray import kernels
+    from h3ray.vector import vertexes_to_wkb_points
+
+    cells = faceijk.latlng_to_cell(
+        np.array([37.77, -33.9]), np.array([-122.4, 151.2]), 8
+    )
+    t = pa.table({"cell": pa.array(cells.astype(np.int64))})
+    out = kernels.cells_to_vertexes(t)
+    lists = out.column("vertexes")
+    assert lists.type == pa.large_list(pa.int64())
+    flat = kernels.cells_to_vertexes(t, flatten=True)
+    assert len(flat) == 12
+    vx = flat.column("vertexes").to_numpy(zero_copy_only=False).astype(np.uint64)
+    # WKB points decode to the true corner coordinates of the cells
+    pts = vertexes_to_wkb_points(vx)
+    vlat, vlng, _ = boundary.cell_true_vertices(cells)
+    for i in range(len(pts)):
+        p = pts[i].as_py()
+        x, y = struct.unpack_from("<dd", p, 5)  # 1B order + 4B type
+        assert abs(x - vlng[i // 6, i % 6]) < 1e-12
+        assert abs(y - vlat[i // 6, i % 6]) < 1e-12
