@@ -279,6 +279,11 @@ def run_bench():
     ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         _warm_kernel, batch_format="pyarrow"
     ).count()
+    # ... and exercise one tiny sort exchange: the AllToAll machinery has
+    # a ~3 s one-time spin-up that otherwise lands on whichever timed
+    # pipeline shuffles first (measured: first sliding_window_agg 4.8 s
+    # cold vs 1.45 s immediately after, same plan and data)
+    ray.data.range(1024, override_num_blocks=8).groupby("id").count().materialize()
     qs = _pipelines(SF_DIR)
     times = {}
     rows = {}
