@@ -265,10 +265,17 @@ def recall_at_k(approx: pa.Table, exact: pa.Table) -> pa.Table:
     eq = exact.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
     ev = exact.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     qs = np.unique(np.concatenate([aq, eq]))
-    m = np.int64(max(av.max(initial=0), ev.max(initial=0)) + 1)
+    # densify vec ids before packing: raw 64-bit ids (hashes, snowflakes)
+    # would overflow qidx * (max_id + 1) and collide silently; the dense
+    # domain is bounded by the Q*k result rows themselves
+    vs = np.unique(np.concatenate([av, ev]))
+    m = np.int64(len(vs))
     qidx_a = np.searchsorted(qs, aq)
     qidx_e = np.searchsorted(qs, eq)
-    hit = np.isin(qidx_a * m + av, qidx_e * m + ev)
+    hit = np.isin(
+        qidx_a * m + np.searchsorted(vs, av),
+        qidx_e * m + np.searchsorted(vs, ev),
+    )
     return pa.table(
         {
             "query_id": pa.array(qs),

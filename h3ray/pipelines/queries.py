@@ -2236,38 +2236,45 @@ ORACLE_SQL.update(
 # --- time-series family (no reference counterpart; see functions/timeseries) -
 
 
+def _cents_events(sf_dir: str):
+    """Shared window-query input: events as (event_id, user_id, ts_us,
+    cents) with value scaled to integer cents.  ONE copy of the rounding
+    parity rule for both window queries and their DuckDB twins:
+    floor(x + 0.5), NOT np.round — numpy rounds half-to-even while
+    DuckDB ROUND rounds half-away; floor(+0.5) is the same IEEE-double
+    expression on both sides, so parity holds even for exact .5
+    inputs."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": pa.array(ts),
+                "cents": pa.array(np.floor(val * 100 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_window_agg(sf_dir: str):
     """Per-event sliding-window features: count, integer-cents sum, min
     and max of ``value`` over the same user's events in the preceding
     24 h (inclusive, peers included) — the rate-limit / activity-feature
     shape of a training-data pipeline.  Exactly SQL's RANGE frame; value
-    is scaled to cents on BOTH sides so every aggregate is
-    integer-exact (extremes via the kernel's sparse-table RMQ)."""
+    is scaled to cents on BOTH sides (see _cents_events) so every
+    aggregate is integer-exact (extremes via the kernel's sparse-table
+    RMQ)."""
     from ..functions import timeseries
 
     hour_us = 3_600_000_000
 
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
-        val = batch.column("value").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_id": pa.array(eid),
-                "user_id": pa.array(uid),
-                "ts_us": pa.array(ts),
-                # floor(x + 0.5), NOT np.round: numpy rounds half-to-even
-                # while DuckDB ROUND rounds half-away — floor(+0.5) is the
-                # same IEEE-double expression on both sides, so parity
-                # holds even for exact .5 inputs
-                "cents": pa.array(np.floor(val * 100 + 0.5).astype(np.int64)),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cents_events(sf_dir)
     out = timeseries.sliding_window_agg(
         ds,
         key_col="user_id",
@@ -2390,26 +2397,13 @@ def q_window_moments(sf_dir: str):
     ``w_var_num = w_count * w_sumsq - w_cents**2`` (variance =
     w_var_num / w_count**2; kept as the numerator so the value oracle
     stays ints-only).  Bounds: cents <= ~6e4, frames <= ~1e2 rows, so
-    w_var_num <= ~4e13 — far inside int64 on both engines."""
+    w_var_num <= ~4e13 — far inside int64 on both engines.  Input via
+    the shared _cents_events (one copy of the rounding parity rule)."""
     from ..functions import timeseries
 
     hour_us = 3_600_000_000
 
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
-        val = batch.column("value").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_id": batch.column("event_id"),
-                "user_id": batch.column("user_id"),
-                "ts_us": pa.array(ts),
-                "cents": pa.array(np.floor(val * 100 + 0.5).astype(np.int64)),
-            }
-        )
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    ds = _cents_events(sf_dir)
     out = timeseries.sliding_window_agg(
         ds,
         key_col="user_id",

@@ -57,11 +57,17 @@ def _change_resolution_array(cells: np.ndarray, res: int) -> np.ndarray:
 
 
 def _change_resolution_offsets(cells: np.ndarray, res: int):
-    """(flat_changed, offsets) for the list form."""
+    """(flat_changed, offsets) for the list form.  Counts come from the
+    actual expansion rows (np.bincount over parent indexes), not from
+    7**depth — pentagon subtrees have fewer children."""
     cells = np.asarray(cells, dtype=np.uint64)
     r = bits.get_resolution(cells).astype(np.int64)
+    up = r >= res
+    counts = np.ones(len(cells), dtype=np.int64)
+    if (~up).any():
+        _, pidx = hierarchy.cell_to_children(cells[~up], res)
+        counts[~up] = np.bincount(pidx, minlength=int((~up).sum()))
     flat = _change_resolution_array(cells, res)
-    counts = np.where(r >= res, 1, 7 ** np.maximum(res - r, 0))
     offsets = np.zeros(len(cells) + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
     return flat, offsets

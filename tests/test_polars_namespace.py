@@ -83,3 +83,14 @@ def test_series_shortcuts_measures_and_strings(cells_series):
         es.h3.directededges_to_string().h3.directededges_parse().to_list()
         == es.to_list()
     )
+
+
+def test_change_resolution_list_pentagon():
+    # pentagon subtrees have 1+5(7^m-1)/6-shaped counts, not 7**depth:
+    # offsets must come from the actual expansion (41 at depth 2)
+    p = bits.set_base_cell(bits.init_cell(0, 1), np.array([4], dtype=np.uint64))
+    hexc = bits.set_base_cell(bits.init_cell(0, 1), np.array([10], dtype=np.uint64))
+    s = pl.Series("c", np.concatenate([p, hexc]).astype(np.uint64))
+    lst = s.h3.change_resolution_list(2)
+    assert [len(x) for x in lst.to_list()] == [41, 49]
+    assert len(s.h3.change_resolution(2)) == 90

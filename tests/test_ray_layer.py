@@ -1033,3 +1033,19 @@ def test_embedding_dedup_pipeline_with_hot_bucket(ray_session):
     got = [(r["a"], r["b"]) for r in out]
     assert len(got) == len(set(got))  # exactly-once per pair
     assert set(got) == truth
+
+
+def test_recall_at_k_large_vec_ids_no_overflow():
+    """Composite-key packing must densify vec ids first: raw 64-bit ids
+    (hashes/snowflakes) would overflow qidx*(max_id+1) and collide."""
+    import pyarrow as pa
+
+    from h3ray.functions import ann
+
+    big = np.array([6_917_529_027_641_081_856, 6_917_529_027_641_081_857], np.int64)
+    q = np.arange(20, dtype=np.int64)
+    ap = pa.table({"query_id": pa.array(q), "vec_id": pa.array(np.tile(big[:1], 20))})
+    miss = pa.table({"query_id": pa.array(q), "vec_id": pa.array(np.tile(big[1:], 20))})
+    hit = pa.table({"query_id": pa.array(q), "vec_id": pa.array(np.tile(big[:1], 20))})
+    assert ann.recall_at_k(ap, miss).column("hits").to_numpy(zero_copy_only=False).sum() == 0
+    assert ann.recall_at_k(ap, hit).column("hits").to_numpy(zero_copy_only=False).sum() == 20

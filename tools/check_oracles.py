@@ -103,10 +103,21 @@ def main(sf_dir: str, only: set[str] | None = None):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    args = sys.argv[1:]
     only = None
-    for a in sys.argv[1:]:
+    rest = []
+    i = 0
+    while i < len(args):
+        a = args[i]
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
-    sf = argv[0] if argv else "/root/testdata/sf0.01"
+        elif a == "--only":
+            if i + 1 >= len(args):
+                raise SystemExit("--only requires a comma-separated query list")
+            only = set(args[i + 1].split(","))
+            i += 1
+        else:
+            rest.append(a)
+        i += 1
+    sf = rest[0] if rest else "/root/testdata/sf0.01"
     raise SystemExit(1 if main(sf, only) else 0)
