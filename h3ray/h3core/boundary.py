@@ -146,6 +146,49 @@ def cell_true_vertices(h: np.ndarray):
     return np.degrees(vlat), np.degrees(vlng), nv.astype(np.int64)
 
 
+def get_icosahedron_faces(h: np.ndarray):
+    """Icosahedron faces (0-19) each cell's area intersects (H3 v4
+    getIcosahedronFaces; not exposed by the reference).  A cell touches
+    the face its center decodes to plus every face any of its boundary
+    corner vertices lands on after overage adjustment — exactly the face
+    set the C implementation collects from its substrate boundary walk.
+    Returns (rows, faces): jagged, sorted by (row, face), deduped."""
+    h = np.asarray(h, dtype=np.uint64)
+    n = h.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    (vlat, vlng, nv, face_c, _, pent, _, _, vert_face, _, _) = (
+        _true_vertices_internal(h)
+    )
+    used = np.arange(6)[None, :] < nv[:, None]
+    rows = np.concatenate([np.arange(n), np.repeat(np.arange(n), 6)[used.ravel()]])
+    faces = np.concatenate([face_c, vert_face[used]]).astype(np.int64)
+    if pent.any():
+        # pentagon corners sit ON the icosahedron spoke edges (the cell
+        # is centered on an icosa vertex), so overage assigns each
+        # corner to ONE of its two adjacent faces and can miss some of
+        # the 5 faces meeting there.  The 5 boundary-edge midpoints lie
+        # strictly inside one face each: nearest-face-center over the
+        # spherical midpoints recovers the full 5-face set.
+        pi = np.nonzero(pent)[0]
+        cl = np.cos(vlat[pi])
+        P = np.stack(
+            [cl * np.cos(vlng[pi]), cl * np.sin(vlng[pi]), np.sin(vlat[pi])],
+            axis=-1,
+        )  # (p, 6, 3) corner unit vectors (slots 0..4 used)
+        nxt = (np.arange(6)[None, :] + 1) % nv[pi][:, None]
+        M = P + np.take_along_axis(P, nxt[:, :, None], axis=1)
+        from .constants import FACE_CENTER_POINT
+
+        mid_face = np.argmax(np.einsum("ped,fd->pef", M, FACE_CENTER_POINT), axis=2)
+        pused = np.arange(6)[None, :] < nv[pi][:, None]
+        rows = np.concatenate([rows, np.repeat(pi, 6)[pused.ravel()]])
+        faces = np.concatenate([faces, mid_face[pused].astype(np.int64)])
+    comp = rows * np.int64(20) + faces
+    uniq = np.unique(comp)
+    return (uniq // 20).astype(np.int64), (uniq % 20).astype(np.int64)
+
+
 def cell_boundary(h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Boundary vertices of each cell.
 

@@ -544,6 +544,24 @@ def grid_distance(
     return _append(batch, out_col + "_ok", pa.array(ok))
 
 
+def get_icosahedron_faces(
+    batch: pa.Table, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+    out_col: str = "faces",
+) -> pa.Table:
+    """Icosahedron faces each cell's area intersects, as a sorted
+    large_list<int64> per row (H3 v4 getIcosahedronFaces; beyond the
+    reference surface)."""
+    from .h3core import boundary
+
+    cells = _u64(batch, cell_col)
+    rows, faces = boundary.get_icosahedron_faces(cells)
+    counts = np.bincount(rows, minlength=len(cells))
+    offsets = np.zeros(len(cells) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    lists = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(faces))
+    return _append(batch, out_col, lists)
+
+
 def cells_to_vertexes(
     batch: pa.Table, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
     out_col: str = "vertexes", flatten: bool = False,

@@ -2517,6 +2517,40 @@ def q_cell_vertexes(sf_dir: str):
     return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_icosa_faces(sf_dir: str):
+    """getIcosahedronFaces contract invariants over constructed hexagon
+    cells: 1-2 faces per hexagon (H3 maxFaceCount), the centroid's
+    decode face always present, face ids in 0..19, list sorted+deduped.
+    SQL twin emits the constant."""
+    from ..h3core import boundary as boundary_mod, faceijk as faceijk_mod
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(cells)
+        rows, faces = boundary_mod.get_icosahedron_faces(cells)
+        counts = np.bincount(rows, minlength=n)
+        face_c, _, _ = faceijk_mod.cell_to_faceijk(cells)
+        has_center = np.bincount(
+            rows[faces == face_c[rows]], minlength=n
+        ) == 1
+        in_range = np.bincount(rows[(faces < 0) | (faces > 19)], minlength=n) == 0
+        all_ok = (counts >= 1) & (counts <= 2) & has_center & in_range
+        return pa.table(
+            {"event_id": batch.column("event_id"), "all_ok": pa.array(all_ok)}
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"icosa_faces": q_icosa_faces})
+ORACLE_SQL.update(
+    {
+        "icosa_faces": "SELECT event_id, TRUE AS all_ok FROM events",
+    }
+)
+
+
 QUERIES.update({"cell_vertexes": q_cell_vertexes})
 ORACLE_SQL.update(
     {

@@ -111,3 +111,38 @@ def test_vertexes_kernel_and_wkb_roundtrip():
         x, y = struct.unpack_from("<dd", p, 5)  # 1B order + 4B type
         assert abs(x - vlng[i // 6, i % 6]) < 1e-12
         assert abs(y - vlat[i // 6, i % 6]) < 1e-12
+
+
+@pytest.mark.parametrize("res", [0, 1, 2])
+def test_icosahedron_faces_contract(res):
+    """H3 maxFaceCount contract: hexagons intersect 1-2 faces, pentagons
+    exactly 5 (they are centered on icosa vertices where 5 faces meet);
+    the center face is always in the set; all 20 faces are covered."""
+    from .test_h3core import all_cells_at_res
+
+    cells = all_cells_at_res(res)
+    rows, fcs = boundary.get_icosahedron_faces(cells)
+    counts = np.bincount(rows, minlength=len(cells))
+    pent = bits.is_pentagon(cells)
+    assert (counts[pent] == 5).all()
+    assert ((counts[~pent] >= 1) & (counts[~pent] <= 2)).all()
+    assert np.array_equal(np.unique(fcs), np.arange(20))
+    face_c, _, _ = faceijk.cell_to_faceijk(cells)
+    pairs = set(zip(rows.tolist(), fcs.tolist()))
+    assert all((i, int(face_c[i])) in pairs for i in range(len(cells)))
+    assert ((fcs >= 0) & (fcs <= 19)).all()
+
+
+def test_icosahedron_faces_kernel():
+    import pyarrow as pa
+
+    from h3ray import kernels
+
+    cells = faceijk.latlng_to_cell(np.array([45.5]), np.array([10.2]), 5)
+    t = pa.table({"cell": pa.array(cells.astype(np.int64))})
+    out = kernels.get_icosahedron_faces(t)
+    faces = out.column("faces").to_pylist()[0]
+    assert 1 <= len(faces) <= 2 and faces == sorted(faces)
+    # empty input
+    rows, fcs = boundary.get_icosahedron_faces(np.array([], dtype=np.uint64))
+    assert len(rows) == 0 and len(fcs) == 0
