@@ -84,6 +84,25 @@ class H3Dataset:
     def uncompact(self, res, cell_col="cell"):
         return self._wrap(kernels.uncompact_kernel, res=res, cell_col=cell_col)
 
+    def cells_to_vertexes(self, cell_col="cell", out_col="vertexes", flatten=False):
+        """Canonical corner vertexes per cell — with flatten=True the
+        natural pre-stage for a corner-keyed groupby (each corner's three
+        touching cells derive the identical uint64 key)."""
+        return self._wrap(
+            kernels.cells_to_vertexes, cell_col=cell_col, out_col=out_col,
+            flatten=flatten,
+        )
+
+    def are_neighbor_cells(self, a_col="cell", b_col="other", out_col="neighbor"):
+        return self._wrap(
+            kernels.are_neighbor_cells, a_col=a_col, b_col=b_col, out_col=out_col
+        )
+
+    def get_icosahedron_faces(self, cell_col="cell", out_col="faces"):
+        return self._wrap(
+            kernels.get_icosahedron_faces, cell_col=cell_col, out_col=out_col
+        )
+
     def compact(self, cell_col="cell"):
         """Distributed compact: per-block dedup keyed by the res-0 base
         cell, then ONE exact compact per base group (parent chains never
