@@ -774,6 +774,103 @@ def run_ivf_recall():
         ray.shutdown()
 
 
+def run_vertex_scale():
+    """Corner-keyed aggregation at scale: N synthetic res-9 cells ->
+    canonical vertex flatten (x6 rows) -> groupby(vertex).count().  The
+    canonicality claim this measures: all three cells touching a corner
+    derive the identical uint64, so the grouped counts NEVER exceed 3 —
+    checked over the full result, not sampled.  Reports end-to-end
+    rows/s through the one corner-key exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray import kernels
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            _warm_kernel, batch_format="pyarrow"
+        ).count()
+        ray.data.range(1024, override_num_blocks=8).groupby("id").count().materialize()
+
+        n = int(os.environ.get("H3RAY_VERTEX_SCALE_N", "2000000"))
+        n_sites = max(1, n // 343)
+
+        def make_cells(batch: pa.Table) -> pa.Table:
+            from h3ray.h3core import faceijk, hierarchy
+
+            i = batch.column("id").to_numpy(zero_copy_only=False)
+            # one DISTINCT res-6 site per id (>=1 degree spacing, far
+            # above the ~0.02 degree res-6 cell size), expanded to its
+            # 343 contiguous res-9 children: globally unique cells whose
+            # corners genuinely collide within each patch
+            lat = (i % 160).astype(np.float64) - 79.5
+            lng = ((i // 160) % 360).astype(np.float64) - 179.5
+            sites = faceijk.latlng_to_cell(lat, lng, 6)
+            ch, _ = hierarchy.cell_to_children(np.unique(sites), 9)
+            return pa.table({"cell": pa.array(ch.astype(np.int64))})
+
+        # the repo's high-cardinality groupby idiom: hash-bucket the 64-bit
+        # corner keys into a BOUNDED number of groups and aggregate each
+        # bucket with ONE vectorized np.unique — groupby(vertex).count()
+        # directly would push ~4.5M distinct keys through Ray's per-group
+        # combine (measured ~900 core-seconds of Python at this size)
+        n_buckets = NUM_CPUS * 4
+
+        def to_buckets(batch: pa.Table) -> pa.Table:
+            t = kernels.cells_to_vertexes(batch, flatten=True)
+            vx = t.column("vertexes").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((vx * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)).astype(
+                np.int64
+            ) % n_buckets
+            return pa.table({"bucket": pa.array(b), "vertexes": pa.array(vx)})
+
+        def count_bucket(batch: pa.Table) -> pa.Table:
+            vx = batch.column("vertexes").to_numpy(zero_copy_only=False)
+            _, counts = np.unique(vx, return_counts=True)
+            return pa.table(
+                {
+                    "over": pa.array([int((counts > 3).sum())]),
+                    "n": pa.array([len(counts)]),
+                }
+            )
+
+        ds = (
+            ray.data.range(n_sites, override_num_blocks=NUM_CPUS * 2)
+            .map_batches(make_cells, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        t0 = time.perf_counter()
+        partials = (
+            ds.groupby("bucket")
+            .map_groups(count_bucket, batch_format="pyarrow")
+            .to_pandas()
+        )
+        over = int(partials["over"].sum())
+        n_corners = int(partials["n"].sum())
+        dt = time.perf_counter() - t0
+        assert over == 0, f"{over} corners with >3 owners — canonicality broken"
+        n_cells = n_sites * 343
+        print(
+            json.dumps(
+                {
+                    "metric": "corner-keyed groupby rows/s",
+                    "cells": n_cells,
+                    "corner_rows": n_cells * 6,
+                    "distinct_corners": n_corners,
+                    "over_degree_3": over,
+                    "sec": round(dt, 3),
+                    "rows_per_s": round(n_cells * 6 / dt),
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -787,5 +884,7 @@ if __name__ == "__main__":
         run_ts_scale()
     elif "--ivf-recall" in sys.argv:
         run_ivf_recall()
+    elif "--vertex-scale" in sys.argv:
+        run_vertex_scale()
     else:
         run_bench()

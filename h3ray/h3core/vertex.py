@@ -131,7 +131,24 @@ def _cells_to_vertexes_uniform(cells: np.ndarray):
     if foreign.any():
         f_owner = owner[foreign]
         uniq, inv = np.unique(f_owner, return_inverse=True)
-        o_edge_nbr, o_nv = _edge_neighbors(uniq)
+        # most foreign owners of a contiguous batch are THEMSELVES input
+        # cells whose edge tables are already computed — reuse them and
+        # run the (expensive) edge matching only for true out-of-batch
+        # owners (the patch boundary)
+        cs, first = np.unique(cells, return_index=True)
+        pos = np.searchsorted(cs, uniq)
+        pos_c = np.minimum(pos, len(cs) - 1)
+        in_batch = cs[pos_c] == uniq
+        o_edge_nbr = np.zeros((len(uniq), 6), dtype=np.uint64)
+        o_nv = np.zeros(len(uniq), dtype=np.int64)
+        if in_batch.any():
+            src = first[pos_c[in_batch]]
+            o_edge_nbr[in_batch] = edge_nbr[src]
+            o_nv[in_batch] = nv[src]
+        if (~in_batch).any():
+            e2, n2 = _edge_neighbors(uniq[~in_batch])
+            o_edge_nbr[~in_batch] = e2
+            o_nv[~in_batch] = n2
         o_prev_nbr = np.take_along_axis(
             o_edge_nbr, (idx6[None, :] - 1) % o_nv[:, None], axis=1
         )
