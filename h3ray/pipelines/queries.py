@@ -2543,6 +2543,62 @@ def q_icosa_faces(sf_dir: str):
     return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_edge_construct(sf_dir: str):
+    """cellsToDirectedEdge invariants over constructed hexagon cells:
+    an edge to each of the 6 ring-1 neighbors constructs (n_edges = 6),
+    every constructed edge roundtrips origin and destination exactly,
+    and ring-2 members refuse with the not-neighbors error (n_far = 12).
+    SQL twin emits the constants."""
+    from ..h3core import traversal
+    from .. import vector as vector_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(cells)
+        rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+        origin = cells[rows]
+        e, err = vector_fns.cells_to_directededge(origin, disk)
+        ok = err == 0
+        rt = (
+            ok
+            & (vector_fns.directededge_origin(np.where(ok, e, np.uint64(0))) == origin)
+            & (
+                vector_fns.directededge_destination(np.where(ok, e, np.uint64(0)))
+                == disk
+            )
+            & bits.is_valid_directededge(np.where(ok, e, np.uint64(0)))
+        )
+        n_edges = np.bincount(rows[rt & (dist == 1)], minlength=n).astype(np.int64)
+        n_far = np.bincount(rows[(dist == 2) & (err == 3)], minlength=n).astype(
+            np.int64
+        )
+        bad = (ok & ~rt) | ((dist == 1) & ~ok) | ((dist == 0) & (err != 3))
+        all_ok = np.bincount(rows[bad], minlength=n) == 0
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "n_edges": pa.array(n_edges),
+                "n_far": pa.array(n_far),
+                "all_ok": pa.array(all_ok),
+            }
+        )
+
+    return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"edge_construct": q_edge_construct})
+ORACLE_SQL.update(
+    {
+        "edge_construct": """
+            SELECT event_id, CAST(6 AS BIGINT) AS n_edges,
+                   CAST(12 AS BIGINT) AS n_far, TRUE AS all_ok
+            FROM events
+        """,
+    }
+)
+
+
 QUERIES.update({"icosa_faces": q_icosa_faces})
 ORACLE_SQL.update(
     {

@@ -235,6 +235,72 @@ def cells_to_directededges(cells) -> tuple[np.ndarray, np.ndarray]:
     return rows[order], out[order]
 
 
+def cells_to_directededge(origin, dest):
+    """Directed edge FROM each origin TO its neighboring dest (H3 v4
+    cellsToDirectedEdge; the reference exposes only parse/validate/
+    origin-destination extraction).  Returns (edges, error): error
+    follows areNeighborCells' contract (1 invalid, 2 res mismatch) plus
+    3 for valid same-res pairs that are not neighbors; edges are 0
+    wherever error != 0."""
+    o = np.asarray(origin, dtype=np.uint64)
+    d = np.asarray(dest, dtype=np.uint64)
+    if o.shape != d.shape:
+        raise ValueError("origin and dest must be the same length")
+    n = len(o)
+    out = np.zeros(n, dtype=np.uint64)
+    err = np.zeros(n, dtype=np.int8)
+    valid = bits.is_valid_cell(o) & bits.is_valid_cell(d)
+    err[~valid] = 1
+    res_o = bits.get_resolution(o).astype(np.int64)
+    mismatch = valid & (res_o != bits.get_resolution(d).astype(np.int64))
+    err[mismatch] = 2
+    live = valid & ~mismatch & (o != d)
+    direction = np.zeros(n, dtype=np.int64)
+    pent = bits.is_pentagon(o)
+    for r in np.unique(res_o[live]):
+        sel = live & (res_o == r)
+        osel, dsel = o[sel], d[sel]
+        dir_sel = np.zeros(len(osel), dtype=np.int64)
+        for k in range(1, 7):
+            nb, _, perr = neighbor_rotations(osel, k)
+            # K from a pentagon origin is the deleted subsequence (the
+            # primitive substitutes IK there instead of erroring)
+            ok = (perr == 0) & (nb == dsel) & ~(pent[sel] & (k == 1))
+            dir_sel[ok & (dir_sel == 0)] = k
+        direction[sel] = dir_sel
+    hit = direction > 0
+    err[valid & ~mismatch & ~hit] = np.int8(3)
+    out[hit] = (
+        (o[hit] & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56)))
+        | (_U(bits.MODE_DIRECTEDEDGE) << _U(59))
+        | (direction[hit].astype(np.uint64) << _U(56))
+    )
+    return out, err
+
+
+def get_res0_cells() -> np.ndarray:
+    """All 122 resolution-0 cells (H3 v4 getRes0Cells), base-cell order."""
+    res0 = bits.init_cell(0, bits.NUM_BASE_CELLS)
+    return bits.set_base_cell(
+        res0, np.arange(bits.NUM_BASE_CELLS, dtype=np.uint64)
+    )
+
+
+def get_pentagons(res: int) -> np.ndarray:
+    """The 12 pentagon cells of a resolution (H3 v4 getPentagons): the
+    all-center-children descendants of the 12 pentagon base cells."""
+    if not 0 <= res <= 15:
+        raise ValueError("res must be within 0..15")
+    p0 = get_res0_cells()
+    p0 = p0[bits.is_pentagon(p0)]
+    cells = bits.set_resolution(p0, np.full(len(p0), res, dtype=np.uint64))
+    for r in range(1, res + 1):
+        cells = bits.set_index_digit(
+            cells, r, np.zeros(len(cells), dtype=np.uint64)
+        )
+    return cells
+
+
 def directededge_origin(edges) -> np.ndarray:
     edges = np.asarray(edges, dtype=np.uint64)
     return (edges & ~(_U(0xF) << _U(59)) & ~(_U(0x7) << _U(56))) | (

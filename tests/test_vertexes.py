@@ -146,3 +146,44 @@ def test_icosahedron_faces_kernel():
     # empty input
     rows, fcs = boundary.get_icosahedron_faces(np.array([], dtype=np.uint64))
     assert len(rows) == 0 and len(fcs) == 0
+
+
+def test_cells_to_directededge_and_enumerations():
+    """cellsToDirectedEdge roundtrip + error contract; getRes0Cells /
+    getPentagons enumerations (H3 v4 API, beyond the reference)."""
+    from h3ray import vector
+
+    r0 = vector.get_res0_cells()
+    assert len(r0) == 122 and bits.is_valid_cell(r0).all()
+    assert bits.is_pentagon(r0).sum() == 12
+    for res in (0, 7, 15):
+        p = vector.get_pentagons(res)
+        assert len(p) == 12 and bits.is_pentagon(p).all()
+        assert (bits.get_resolution(p) == res).all()
+    with pytest.raises(ValueError):
+        vector.get_pentagons(16)
+
+    cells = faceijk.latlng_to_cell(np.array([48.8, -33.9]), np.array([2.35, 151.2]), 7)
+    rows, disk, dist = traversal.grid_disk_distances(cells, 2)
+    m1 = dist == 1
+    e, err = vector.cells_to_directededge(cells[rows[m1]], disk[m1])
+    assert (err == 0).all() and bits.is_valid_directededge(e).all()
+    assert np.array_equal(vector.directededge_origin(e), cells[rows[m1]])
+    assert np.array_equal(vector.directededge_destination(e), disk[m1])
+    # ring-2 / self -> err 3, res mismatch -> 2, invalid -> 1
+    e2, err2 = vector.cells_to_directededge(cells[rows[dist == 2]], disk[dist == 2])
+    assert (err2 == 3).all() and (e2 == 0).all()
+    assert (vector.cells_to_directededge(cells, cells)[1] == 3).all()
+    assert (
+        vector.cells_to_directededge(cells, bits.cell_to_parent(cells, 6))[1] == 2
+    ).all()
+    assert (
+        vector.cells_to_directededge(cells, np.zeros(2, dtype=np.uint64))[1] == 1
+    ).all()
+    # pentagon origin: exactly 5 constructible edges, destinations exact
+    p = vector.get_pentagons(3)[:1]
+    prows, pdisk, pdist = traversal.grid_disk_distances(p, 1)
+    nb = pdisk[pdist == 1]
+    ep, errp = vector.cells_to_directededge(np.repeat(p, len(nb)), nb)
+    assert (errp == 0).all() and len(ep) == 5
+    assert np.array_equal(vector.directededge_destination(ep), nb)
