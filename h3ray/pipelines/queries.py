@@ -2587,6 +2587,56 @@ def q_edge_construct(sf_dir: str):
     return _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch vs exact: build the global 4x16384 sketch over
+    res-2 parent cells (one mergeable 512 KiB matrix — the whole-stream
+    frequency table never materializes), then per distinct parent emit
+    the EXACT distributed count (value-checked against SQL GROUP BY) and
+    the sketch's one-sided bound (cms_ge: estimate >= exact, always
+    true for count-min).  With ~70 keys over 16384 columns, collisions
+    are improbable but not impossible — the oracle pins the guaranteed
+    bound, not estimate equality; estimate accuracy is pytest-anchored."""
+    from ..functions import sketch
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        parent = bits.cell_to_parent(cells, np.uint64(2)).astype(np.int64)
+        return pa.table({"parent": pa.array(parent)})
+
+    ds = _events(sf_dir).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+    mat, _ = sketch.cms_from_dataset(ds, "parent")
+    exact = ds.groupby("parent").count()
+
+    def attach(batch: pa.Table) -> pa.Table:
+        parents = batch.column("parent").to_numpy(zero_copy_only=False)
+        n = batch.column("count()").to_numpy(zero_copy_only=False)
+        est = sketch.cms_query(mat, parents.astype(np.uint64))
+        return pa.table(
+            {
+                "parent": pa.array(parents),
+                "n": pa.array(n.astype(np.int64)),
+                "cms_ge": pa.array(est >= n),
+            }
+        )
+
+    return exact.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES.update({"cms_counts": q_cms_counts})
+ORACLE_SQL.update(
+    {
+        "cms_counts": f"""
+            SELECT (({_CELL_SQL} & ~(CAST(15 AS BIGINT) << 52))
+                    | (CAST(2 AS BIGINT) << 52))
+                   | ((CAST(1 AS BIGINT) << 39) - 1) AS parent,
+                   COUNT(*) AS n, TRUE AS cms_ge
+            FROM events GROUP BY 1
+        """,
+    }
+)
+
+
 QUERIES.update({"edge_construct": q_edge_construct})
 ORACLE_SQL.update(
     {

@@ -1049,3 +1049,46 @@ def test_recall_at_k_large_vec_ids_no_overflow():
     hit = pa.table({"query_id": pa.array(q), "vec_id": pa.array(np.tile(big[:1], 20))})
     assert ann.recall_at_k(ap, miss).column("hits").to_numpy(zero_copy_only=False).sum() == 0
     assert ann.recall_at_k(ap, hit).column("hits").to_numpy(zero_copy_only=False).sum() == 20
+
+
+def test_cms_sketch_invariants(ray_session):
+    """Count-min: estimates never undercount; split-merge is exactly the
+    whole-stream sketch (sum is associative); well-separated heavy keys
+    estimate exactly at this load factor; Dataset build == local build."""
+    import ray
+
+    from h3ray.functions import sketch
+
+    rng = np.random.default_rng(42)
+    # 50k draws over 200 distinct keys with a planted heavy hitter
+    keys = rng.integers(0, 200, 50_000).astype(np.uint64) * np.uint64(2654435761)
+    heavy = np.uint64(999_999_999_999)
+    keys = np.concatenate([keys, np.full(10_000, heavy, dtype=np.uint64)])
+    t = pa.table({"cell": pa.array(keys.astype(np.int64))})
+
+    whole, n = sketch.cms_merge(sketch.cms_partial(t))
+    assert n == len(keys)
+    # split at arbitrary points, merge partials -> identical matrix
+    parts = pa.concat_tables(
+        [sketch.cms_partial(t.slice(0, 17)),
+         sketch.cms_partial(t.slice(17, 40_000)),
+         sketch.cms_partial(t.slice(40_017))]
+    )
+    merged, n2 = sketch.cms_merge(parts)
+    assert n2 == n and np.array_equal(merged, whole)
+
+    uniq, true_counts = np.unique(keys, return_counts=True)
+    est = sketch.cms_query(whole, uniq)
+    assert (est >= true_counts).all()  # one-sided bound, always
+    # heavy hitter is exact at 201 keys / 16384 columns
+    assert est[uniq == heavy][0] == 10_000
+    # mean relative overestimate is tiny at this load factor
+    assert (est - true_counts).sum() / true_counts.sum() < 0.01
+
+    ds_mat, ds_n = sketch.cms_from_dataset(
+        ray.data.from_arrow(t).repartition(6), "cell"
+    )
+    assert ds_n == n and np.array_equal(ds_mat, whole)
+    # empty dataset
+    z, zn = sketch.cms_merge(pa.table({"cms": pa.array([], type=pa.list_(pa.int64(), sketch.CMS_D * sketch.CMS_W)), "n": pa.array([], type=pa.int64())}))
+    assert zn == 0 and (z == 0).all()
