@@ -79,16 +79,70 @@ def cms_query(mat: np.ndarray, keys: np.ndarray) -> np.ndarray:
     return est
 
 
-def cms_from_dataset(ds, col: str = "cell") -> tuple[np.ndarray, int]:
+def heavy_keys(ds, col: str = "cell", threshold: int = 10_000,
+               fanin: int = 16) -> np.ndarray:
+    """Enumerate keys whose frequency is (approximately) >= threshold:
+    pass 1 builds the global sketch, pass 2 re-scans and keeps each
+    batch's distinct keys whose estimate clears the threshold.  The
+    one-sided bound guarantees NO false negatives (a true-heavy key
+    always estimates >= its count); rare false positives (collision
+    lift) only cost a little extra salting downstream.  The result is
+    small by construction (<= total/threshold true keys + collisions),
+    so the driver-side unique is bounded.  Two streaming passes, no
+    key shuffle — this is the skew pre-detector the salted joins use."""
+    import ray
+
+    mat, _ = cms_from_dataset(ds, col, fanin)
+    mat_ref = ray.put(mat)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        m = mat_ref
+        if isinstance(m, ray.ObjectRef):
+            m = ray.get(m)
+        keys = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        hot = keys[cms_query(m, keys) >= threshold]
+        return pa.table({col: pa.array(hot.astype(np.int64))})
+
+    out = ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+    tables = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(
+        pa.concat_tables(tables).column(col).to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
+
+
+def _merge_batch(batch: pa.Table) -> pa.Table:
+    """Fold many partial rows into one (runs inside Ray workers)."""
+    mat, n = cms_merge(batch)
+    return pa.table(
+        {
+            "cms": pa.FixedSizeListArray.from_arrays(
+                pa.array(mat.reshape(-1)), CMS_D * CMS_W
+            ),
+            "n": pa.array([np.int64(n)]),
+        }
+    )
+
+
+def cms_from_dataset(ds, col: str = "cell", fanin: int = 16) -> tuple[np.ndarray, int]:
     """Build the global sketch over a Dataset column: per-block partials
-    (fixed 512 KiB each regardless of block size) reduced on the driver —
-    the stream itself never materializes."""
+    (fixed 512 KiB each regardless of block size) tree-reduced INSIDE
+    Ray — one merge level collapses the partial stream to ``fanin``
+    rows, so the driver pulls fanin * 512 KiB no matter how many blocks
+    the input has (pulling every block's partial would be blocks x
+    512 KiB — hundreds of GiB at 100 TB scale)."""
     parts = ds.map_batches(
         lambda b: cms_partial(b, col), batch_format="pyarrow", zero_copy_batch=True
     )
+    level1 = parts.repartition(fanin).map_batches(
+        _merge_batch, batch_format="pyarrow", batch_size=None
+    )
     import ray
 
-    tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    tables = [t for t in ray.get(level1.to_arrow_refs()) if t.num_rows]
     if not tables:
         return np.zeros((CMS_D, CMS_W), dtype=np.int64), 0
     return cms_merge(pa.concat_tables(tables))

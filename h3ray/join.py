@@ -243,6 +243,7 @@ def pip_join_shuffle(
     point_id_col: str = "point_id",
     block_elems: int = _JOIN_BLOCK_ELEMS,
     num_buckets: int = 256,
+    hot_cells: "np.ndarray | None" = None,
 ):
     """Two-phase PIP join as a cell-keyed co-group shuffle.
 
@@ -273,10 +274,32 @@ def pip_join_shuffle(
     shuffle like any other dataset — nothing is materialized on the driver
     (the "both sides large" contract).
 
-    ``salt`` is the hot-cell fanout S; production pipelines would pick S per
-    cell from an observed-frequency sketch (constant here for clarity).
+    ``salt`` is the hot-cell fanout S.  With ``hot_cells=None`` every
+    cell fans out S ways (the simple constant scheme).  Passing the
+    observed-frequency hot set (``sketch.heavy_keys`` over the point
+    cells — see ``pip_join_shuffle_adaptive``) restricts fanout to the
+    actually-hot cells: cold cells keep ONE rect replica and salt slot
+    0, so rect replication shrinks by ~S× while dense cells still
+    spread over S slots.  Pair results are identical either way.
     Output matches ``make_pip_refine_kernel`` row-for-row.
     """
+    import ray
+
+    hot_ref = (
+        ray.put(np.sort(np.asarray(hot_cells, dtype=np.uint64)))
+        if hot_cells is not None
+        else None
+    )
+
+    def _hot_mask(cells: np.ndarray):
+        """Sorted-membership test against the broadcast hot set."""
+        hs = hot_ref
+        if isinstance(hs, ray.ObjectRef):
+            hs = ray.get(hs)
+        if len(hs) == 0:
+            return np.zeros(len(cells), dtype=bool)
+        pos = np.minimum(np.searchsorted(hs, cells), len(hs) - 1)
+        return hs[pos] == cells
 
     def bucket_of(cells: np.ndarray, salts: np.ndarray) -> np.ndarray:
         from .functions._util import bucket_pair
@@ -291,22 +314,31 @@ def pip_join_shuffle(
         a1 = batch.column("lat1").to_numpy(zero_copy_only=False)
         rows, cells = rect_cover_cells(rid, l0, a0, l1, a1, res)
         n = len(rows)
-        rcell = np.tile(cells, salt)
-        rsalt = np.repeat(np.arange(salt, dtype=np.int32), n)
+        if hot_ref is None:
+            fan = np.full(n, salt, dtype=np.int64)
+        else:
+            # cold cover cells keep ONE replica (salt slot 0); only the
+            # observed-hot cells pay the S-way replication
+            fan = np.where(_hot_mask(cells), salt, 1).astype(np.int64)
+        idx = np.repeat(np.arange(n), fan)
+        start = np.cumsum(fan) - fan
+        rsalt = (np.arange(len(idx)) - start[idx]).astype(np.int32)
+        rcell = cells[idx]
+        m = len(idx)
         return pa.table(
             {
                 "bucket": pa.array(bucket_of(rcell, rsalt.astype(np.int64))),
                 "cell": pa.array(rcell),
                 "salt": pa.array(rsalt),
-                "side": pa.array(np.zeros(n * salt, dtype=np.int8)),
-                point_id_col: pa.array(np.zeros(n * salt, dtype=np.int64)),
-                lat_col: pa.array(np.zeros(n * salt)),
-                lng_col: pa.array(np.zeros(n * salt)),
-                "rect_id": pa.array(np.tile(rid[rows], salt)),
-                "lng0": pa.array(np.tile(l0[rows], salt)),
-                "lat0": pa.array(np.tile(a0[rows], salt)),
-                "lng1": pa.array(np.tile(l1[rows], salt)),
-                "lat1": pa.array(np.tile(a1[rows], salt)),
+                "side": pa.array(np.zeros(m, dtype=np.int8)),
+                point_id_col: pa.array(np.zeros(m, dtype=np.int64)),
+                lat_col: pa.array(np.zeros(m)),
+                lng_col: pa.array(np.zeros(m)),
+                "rect_id": pa.array(rid[rows][idx]),
+                "lng0": pa.array(l0[rows][idx]),
+                "lat0": pa.array(a0[rows][idx]),
+                "lng1": pa.array(l1[rows][idx]),
+                "lat1": pa.array(a1[rows][idx]),
             }
         )
 
@@ -322,15 +354,14 @@ def pip_join_shuffle(
         pid = batch.column(point_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         cells = faceijk.latlng_to_cell(lat, lng, res)
         m = len(batch)
+        psalt = (pid * 0x9E3779B9) % salt
+        if hot_ref is not None:
+            psalt = np.where(_hot_mask(cells), psalt, 0)
         return pa.table(
             {
-                "bucket": pa.array(
-                    bucket_of(cells, (pid * 0x9E3779B9) % salt)
-                ),
+                "bucket": pa.array(bucket_of(cells, psalt)),
                 "cell": pa.array(cells),
-                "salt": pa.array(
-                    ((pid * 0x9E3779B9) % salt).astype(np.int32)
-                ),
+                "salt": pa.array(psalt.astype(np.int32)),
                 "side": pa.array(np.ones(m, dtype=np.int8)),
                 point_id_col: pa.array(pid),
                 lat_col: pa.array(lat),
@@ -425,4 +456,51 @@ def pip_join_shuffle(
     both = pts_keyed.union(rect_keyed)
     return both.groupby("bucket").map_groups(
         join_group, batch_format="pyarrow"
+    )
+
+
+def pip_join_shuffle_adaptive(
+    points_ds,
+    rects_ds,
+    res: int,
+    threshold: int,
+    salt: int = 4,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    point_id_col: str = "point_id",
+    **kw,
+):
+    """Sketch-driven salted PIP join: a count-min pass over the point
+    cells (functions/sketch.heavy_keys — two streaming passes, one
+    512 KiB mergeable matrix, no key shuffle) finds the cells with
+    >= ``threshold`` points, and only THOSE fan out ``salt`` ways in
+    the co-group; cold cells keep one rect replica.  Same pairs as
+    ``pip_join_shuffle`` with constant salting, at ~1/salt of its rect
+    replication when hotspots are rare — the skew handling the
+    constant-salt docstring deferred to "an observed-frequency sketch".
+
+    Reads the point side twice (sketch pass + join pass); both passes
+    stream.
+    """
+    import pyarrow as pa
+
+    from .functions import sketch
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        from .h3core import faceijk
+
+        lat = batch.column(lat_col).to_numpy(zero_copy_only=False)
+        lng = batch.column(lng_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"cell": pa.array(faceijk.latlng_to_cell(lat, lng, res).astype(np.int64))}
+        )
+
+    hot = sketch.heavy_keys(
+        points_ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True),
+        "cell",
+        threshold,
+    )
+    return pip_join_shuffle(
+        points_ds, rects_ds, res, salt=salt, lat_col=lat_col, lng_col=lng_col,
+        point_id_col=point_id_col, hot_cells=hot, **kw,
     )

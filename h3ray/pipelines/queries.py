@@ -1856,6 +1856,57 @@ def q_pip_join_fine(sf_dir: str):
     )
 
 
+def q_pip_join_adaptive(sf_dir: str):
+    """The shuffle join with SKETCH-DRIVEN salting: a count-min pass over
+    the point cells picks the actually-hot cells (threshold = 200 points
+    at sf0.01's ~10k events) and only those fan out; cold cells keep one
+    rect replica.  Identical pairs to the constant-salt plan — shares
+    the pip_join SQL BETWEEN oracle."""
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "point_id": pa.array(eid.astype(np.int64)),
+                "lat": pa.array(event_lat(eid)),
+                "lng": pa.array(event_lng(eid)),
+            }
+        )
+
+    def nation_to_rects(batch: pa.Table) -> pa.Table:
+        nk = batch.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat0 = ((nk * 11 % 140) - 70).astype(np.float64)
+        lng0 = ((nk * 29 % 340) - 170).astype(np.float64)
+        return pa.table(
+            {
+                "rect_id": pa.array(nk),
+                "lng0": pa.array(lng0),
+                "lat0": pa.array(lat0),
+                "lng1": pa.array(lng0 + 13),
+                "lat1": pa.array(lat0 + 9),
+            }
+        )
+
+    pds = _events(sf_dir).map_batches(
+        add_coords, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rds = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(nation_to_rects, batch_format="pyarrow", zero_copy_batch=True)
+    out = join_mod.pip_join_shuffle_adaptive(pds, rds, res=3, threshold=200, salt=4)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("point_id"),
+                "rect_id": batch.column("rect_id").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+QUERIES.update({"pip_join_adaptive": q_pip_join_adaptive})
 QUERIES.update({"pip_join_salted": q_pip_join_salted})
 QUERIES.update({"pip_join_hash": q_pip_join_hash})
 QUERIES.update({"pip_join_fine": q_pip_join_fine})
@@ -1874,6 +1925,7 @@ ORACLE_SQL.update(
     }
 )
 ORACLE_SQL.update({"pip_join_salted": ORACLE_SQL["pip_join"]})
+ORACLE_SQL.update({"pip_join_adaptive": ORACLE_SQL["pip_join"]})
 ORACLE_SQL.update({"pip_join_hash": ORACLE_SQL["pip_join"]})
 ORACLE_SQL.update({"ann_ivf": ORACLE_SQL["ann_top1"]})
 ORACLE_SQL.update(

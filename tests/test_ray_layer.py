@@ -1092,3 +1092,68 @@ def test_cms_sketch_invariants(ray_session):
     # empty dataset
     z, zn = sketch.cms_merge(pa.table({"cms": pa.array([], type=pa.list_(pa.int64(), sketch.CMS_D * sketch.CMS_W)), "n": pa.array([], type=pa.int64())}))
     assert zn == 0 and (z == 0).all()
+
+
+def test_adaptive_salted_pip_join(ray_session):
+    """Sketch-driven salting: heavy_keys finds exactly the planted dense
+    cell, and the adaptive join's pair set equals both the constant-salt
+    shuffle and the broadcast reference."""
+    import ray
+
+    from h3ray import join
+    from h3ray.functions import sketch
+    from h3ray.h3core import faceijk
+
+    rng = np.random.default_rng(31)
+    # 5000 points piled into one ~res-3 cell + 500 scattered
+    dense_lat = 40.0 + rng.uniform(-0.05, 0.05, 5000)
+    dense_lng = -100.0 + rng.uniform(-0.05, 0.05, 5000)
+    sp_lat = rng.uniform(-60, 60, 500)
+    sp_lng = rng.uniform(-170, 170, 500)
+    lat = np.concatenate([dense_lat, sp_lat])
+    lng = np.concatenate([dense_lng, sp_lng])
+    pid = np.arange(len(lat), dtype=np.int64)
+    pts = ray.data.from_arrow(
+        pa.table({"point_id": pa.array(pid), "lat": pa.array(lat), "lng": pa.array(lng)})
+    ).repartition(4)
+    rid = np.arange(6, dtype=np.int64)
+    r_lng0 = np.array([-101.0, -100.5, -160.0, 10.0, 60.0, -30.0])
+    r_lat0 = np.array([39.0, 39.5, -50.0, 0.0, -30.0, 20.0])
+    rects = ray.data.from_arrow(
+        pa.table(
+            {
+                "rect_id": pa.array(rid),
+                "lng0": pa.array(r_lng0),
+                "lat0": pa.array(r_lat0),
+                "lng1": pa.array(r_lng0 + 3.0),
+                "lat1": pa.array(r_lat0 + 3.0),
+            }
+        )
+    )
+
+    # the planted dense cell is the only heavy key at this threshold
+    cells = faceijk.latlng_to_cell(lat, lng, 3)
+    def to_cells(b):
+        c = faceijk.latlng_to_cell(
+            b.column("lat").to_numpy(zero_copy_only=False),
+            b.column("lng").to_numpy(zero_copy_only=False), 3)
+        return pa.table({"cell": pa.array(c.astype(np.int64))})
+    hot = sketch.heavy_keys(
+        pts.map_batches(to_cells, batch_format="pyarrow"), "cell", 2000
+    )
+    true_hot = np.unique(cells)[np.bincount(np.unique(cells, return_inverse=True)[1]) >= 2000]
+    assert np.array_equal(np.sort(hot), np.sort(true_hot)) and len(hot) >= 1
+
+    def pairs(ds):
+        return {(r["point_id"], r["rect_id"]) for r in ds.take_all()}
+
+    adaptive = pairs(join.pip_join_shuffle_adaptive(pts, rects, 3, threshold=2000, salt=4, num_buckets=16))
+    constant = pairs(join.pip_join_shuffle(pts, rects, 3, salt=4, num_buckets=16))
+    # broadcast reference
+    lookup = join.RectLookup(rid, r_lng0, r_lat0, r_lng0 + 3.0, r_lat0 + 3.0, 3)
+    ref = pairs(
+        pts.map_batches(
+            join.make_pip_refine_kernel(ray.put(lookup)), batch_format="pyarrow"
+        ).select_columns(["point_id", "rect_id"])
+    )
+    assert adaptive == constant == ref and len(ref) > 4000
