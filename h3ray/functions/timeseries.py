@@ -330,6 +330,202 @@ def asof_join(
     return lk.union(rk).groupby("bucket").map_groups(group, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# interval (temporal range) join
+# ---------------------------------------------------------------------------
+
+
+def interval_kernel(
+    seg_p: np.ndarray,
+    rel_p: np.ndarray,
+    ts_p: np.ndarray,
+    pid: np.ndarray,
+    seg_i: np.ndarray,
+    rel_i: np.ndarray,
+    end_i: np.ndarray,
+    iid: np.ndarray,
+    span: int,
+    block_elems: int = 4_000_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized interval-stab inside one bucket: every (point, interval)
+    pair of the same segment with ``rel_start <= rel_ts`` and
+    ``ts <= end``.  ``rel_i`` is the interval start clipped into the
+    segment's chunk, so ``rel_i <= rel_p`` alone proves ``start <= ts``
+    (an interval starting before the chunk clips to 0).  Candidates come
+    from two searchsorted calls on the composite ``seg * span + rel``
+    axis; the pair expansion and the end-filter evaluate in
+    ``block_elems``-bounded point slices — the same bounded-temporary
+    scheme as join.pip_join_shuffle's join_group.
+    """
+    empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+    if len(seg_p) == 0 or len(seg_i) == 0:
+        return empty
+    span = np.int64(span)
+    comp_i = seg_i * span + rel_i
+    order = np.argsort(comp_i, kind="stable")
+    ci = comp_i[order]
+    comp_p = seg_p * span + rel_p
+    lo = np.searchsorted(ci, seg_p * span, "left")
+    hi = np.searchsorted(ci, comp_p, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return empty
+    cum = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(cnt)])
+    out_p, out_i = [], []
+    step = max(1, block_elems)
+    i0 = 0
+    while i0 < len(comp_p):
+        i1 = int(np.searchsorted(cum, cum[i0] + step, "left"))
+        i1 = min(max(i1, i0 + 1), len(comp_p))
+        c = cnt[i0:i1]
+        t = int(cum[i1] - cum[i0])
+        if t == 0:
+            i0 = i1
+            continue
+        pr = np.repeat(np.arange(i0, i1, dtype=np.int64), c)
+        ir = order[
+            np.repeat(lo[i0:i1], c)
+            + (np.arange(t, dtype=np.int64) - np.repeat(np.cumsum(c) - c, c))
+        ]
+        hit = ts_p[pr] <= end_i[ir]
+        out_p.append(pid[pr[hit]])
+        out_i.append(iid[ir[hit]])
+        i0 = i1
+    return np.concatenate(out_p), np.concatenate(out_i)
+
+
+def interval_join(
+    points_ds,
+    intervals_ds,
+    *,
+    ts_col: str,
+    point_id_col: str,
+    interval_id_col: str,
+    start_col: str = "istart",
+    end_col: str = "iend",
+    key_col: str | None = None,
+    chunk_us: int,
+    num_buckets: int = 256,
+    block_elems: int = 4_000_000,
+    max_fanout: int | None = 4096,
+):
+    """Inner temporal range join: every (point, interval) pair with
+    ``start <= ts <= end`` (SQL ``JOIN ... ON ts BETWEEN istart AND
+    iend``), optionally also equi-matched on ``key_col`` (present on
+    BOTH sides under the same name).  The 1-D temporal analogue of the
+    PIP join: intervals play the polygons, timestamps play the points.
+
+    Both sides stream.  Points land in exactly one ``(key, ts //
+    chunk_us)`` slot; each interval is replicated to every chunk it
+    overlaps (fanout = ceil(length / chunk_us) + 1), so pick ``chunk_us``
+    on the order of the TYPICAL interval length — the partitioning
+    assumption this operator relies on.  A single interval spanning more
+    than ``max_fanout`` chunks raises (an open-ended interval would
+    otherwise silently explode the exchange); raise the cap or pre-split
+    pathological intervals if that is intended.  One union + one
+    hash(key, chunk) exchange; per-bucket work is one sort + two
+    searchsorted calls + a ``block_elems``-bounded pair expansion.
+    Every pair is emitted exactly once (a point lives in one chunk).
+
+    ``points_ds``: (point_id_col int64, ts_col int64[, key_col int64]).
+    ``intervals_ds``: (interval_id_col int64, start_col, end_col
+    int64[, key_col]).  Returns (point_id_col, interval_id_col).
+    """
+    if point_id_col == interval_id_col:
+        raise ValueError(
+            "point_id_col and interval_id_col collide — rename one side"
+        )
+    chunk = np.int64(chunk_us)
+    if chunk <= 0:
+        raise ValueError(f"chunk_us must be positive, got {chunk_us}")
+
+    def _key(batch: pa.Table, n: int) -> np.ndarray:
+        if key_col is None:
+            return np.zeros(n, dtype=np.int64)
+        return batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def point_rows(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = batch.column(point_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _key(batch, len(ts))
+        ch = ts // chunk
+        n = len(ts)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(key, ch, num_buckets)),
+                "key": pa.array(key),
+                "chunk": pa.array(ch),
+                "ts": pa.array(ts),
+                "rid": pa.array(pid),
+                "iend": pa.array(np.zeros(n, dtype=np.int64)),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def interval_rows(batch: pa.Table) -> pa.Table:
+        st = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        en = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        iid = batch.column(interval_id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = _key(batch, len(st))
+        keep = st <= en  # empty intervals match nothing
+        st, en, iid, key = st[keep], en[keep], iid[keep], key[keep]
+        c0 = st // chunk
+        fan = (en // chunk - c0 + 1).astype(np.int64)
+        if max_fanout is not None and len(fan) and int(fan.max()) > max_fanout:
+            w = int(np.argmax(fan))
+            raise ValueError(
+                f"interval {iid[w]} spans {int(fan[w])} chunks of {chunk_us} "
+                f"(> max_fanout={max_fanout}); raise max_fanout, enlarge "
+                "chunk_us, or pre-split pathological intervals"
+            )
+        idx = np.repeat(np.arange(len(st), dtype=np.int64), fan)
+        off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(fan) - fan, fan
+        )
+        ch = c0[idx] + off
+        rkey = key[idx]
+        # start clipped into each replica's chunk: <= rel_ts proves start <= ts
+        rel_start = np.maximum(st[idx] - ch * chunk, 0)
+        return pa.table(
+            {
+                "bucket": pa.array(_bucket_of(rkey, ch, num_buckets)),
+                "key": pa.array(rkey),
+                "chunk": pa.array(ch),
+                "ts": pa.array(rel_start),  # rel start travels in 'ts'
+                "rid": pa.array(iid[idx]),
+                "iend": pa.array(en[idx]),
+                "side": pa.array(np.zeros(len(idx), dtype=np.int8)),
+            }
+        )
+
+    def group(batch: pa.Table) -> pa.Table:
+        side = batch.column("side").to_numpy(zero_copy_only=False)
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        ch = batch.column("chunk").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        rid = batch.column("rid").to_numpy(zero_copy_only=False)
+        iend = batch.column("iend").to_numpy(zero_copy_only=False)
+        pm, im = side == 1, side == 0
+        # dense (key, chunk) segment ids shared across both sides
+        kd = np.unique(key, return_inverse=True)[1].astype(np.int64)
+        cd = np.unique(ch, return_inverse=True)[1].astype(np.int64)
+        seg = kd * (np.int64(cd.max()) + 1 if len(cd) else np.int64(1)) + cd
+        rel_p = ts[pm] - ch[pm] * chunk  # in [0, chunk)
+        pp, ii = interval_kernel(
+            seg[pm], rel_p, ts[pm], rid[pm],
+            seg[im], ts[im], iend[im], rid[im],
+            span=int(chunk), block_elems=block_elems,
+        )
+        return pa.table({point_id_col: pa.array(pp), interval_id_col: pa.array(ii)})
+
+    pk = points_ds.map_batches(point_rows, batch_format="pyarrow", zero_copy_batch=True)
+    ik = intervals_ds.map_batches(
+        interval_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pk.union(ik).groupby("bucket").map_groups(group, batch_format="pyarrow")
+
+
 def _out_right_name(
     left_id_col: str, right_id_col: str, out_right_col: str | None
 ) -> str:

@@ -2790,3 +2790,87 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# interval (temporal range) join
+# ---------------------------------------------------------------------------
+
+# promo-window interval parameters shared by the Ray plan and the SQL
+# twin: 25 campaign windows derived deterministically from nation keys
+# over the events table's January-2024 span
+_IV_BASE_US = 1_704_067_200_000_000  # epoch_us(2024-01-01)
+_IV_DAY_US = 86_400_000_000
+
+
+def _promo_intervals(sf_dir: str):
+    """25 keyed campaign intervals from nation keys: campaign n targets
+    users with user_id % 25 == n, starting at day 2*(n%10) and lasting
+    3*(1 + n%5) days — staggered, overlapping, several crossing the
+    2-day chunk grid used by the join."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = t.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    istart = _IV_BASE_US + (nk % 10) * 2 * _IV_DAY_US
+    iend = istart + (1 + nk % 5) * 3 * _IV_DAY_US
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "interval_id": pa.array(nk),
+                "ukey": pa.array(nk),
+                "istart": pa.array(istart),
+                "iend": pa.array(iend),
+            }
+        )
+    )
+
+
+def q_interval_join(sf_dir: str):
+    """Temporal range join (functions/timeseries.interval_join): each
+    event matched to every campaign window covering its timestamp for
+    its user cohort (user_id % 25) — SQL BETWEEN join.  Points hash to
+    one (key, 2-day-chunk) slot; intervals replicate per overlapped
+    chunk (fanout <= 9 here); one exchange, blocked pair expansion."""
+    from ..functions import timeseries
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ts_us": pa.array(ts),
+                "ukey": pa.array(uid % 25),
+            }
+        )
+
+    points = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return timeseries.interval_join(
+        points,
+        _promo_intervals(sf_dir),
+        ts_col="ts_us",
+        point_id_col="event_id",
+        interval_id_col="interval_id",
+        key_col="ukey",
+        chunk_us=2 * _IV_DAY_US,
+        num_buckets=64,
+    )
+
+
+QUERIES.update({"interval_join": q_interval_join})
+ORACLE_SQL.update(
+    {
+        "interval_join": f"""
+            SELECT e.event_id AS event_id, n.n_nationkey AS interval_id
+            FROM events e
+            JOIN nation n ON e.user_id % 25 = n.n_nationkey
+             AND epoch_us(e.ts)
+                 BETWEEN {_IV_BASE_US} + (n.n_nationkey % 10) * 2 * {_IV_DAY_US}
+                     AND {_IV_BASE_US} + (n.n_nationkey % 10) * 2 * {_IV_DAY_US}
+                         + (1 + n.n_nationkey % 5) * 3 * {_IV_DAY_US}
+        """,
+    }
+)

@@ -300,3 +300,123 @@ def test_latest_per_key_chunk_empty():
     z = np.zeros(0, dtype=np.int64)
     k, c, t, r = timeseries._latest_per_key_chunk(z, z, z, z)
     assert len(k) == len(c) == len(t) == len(r) == 0
+
+
+# ---------------------------------------------------------------------------
+# interval join
+# ---------------------------------------------------------------------------
+
+
+def _brute_interval(pk, pts, ik, ist, ien, keyed):
+    pairs = set()
+    for i in range(len(pk)):
+        for j in range(len(ik)):
+            if keyed and pk[i] != ik[j]:
+                continue
+            if ist[j] <= pts[i] <= ien[j]:
+                pairs.add((i, j))
+    return pairs
+
+
+@pytest.mark.parametrize("keyed", [False, True])
+def test_interval_kernel_matches_brute_force(keyed):
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        npts = int(rng.integers(1, 200))
+        nint = int(rng.integers(1, 60))
+        chunk = int(rng.integers(7, 97))
+        pkey = rng.integers(0, 4, npts).astype(np.int64) if keyed else np.zeros(npts, np.int64)
+        ikey = rng.integers(0, 4, nint).astype(np.int64) if keyed else np.zeros(nint, np.int64)
+        pts = rng.integers(-300, 300, npts).astype(np.int64)
+        ist = rng.integers(-300, 300, nint).astype(np.int64)
+        ien = ist + rng.integers(0, 250, nint).astype(np.int64)
+        want = _brute_interval(pkey, pts, ikey, ist, ien, keyed)
+        # replicate intervals across overlapped chunks like interval_rows
+        c0 = ist // chunk
+        fan = (ien // chunk - c0 + 1).astype(np.int64)
+        ridx = np.repeat(np.arange(nint), fan)
+        off = np.arange(len(ridx)) - np.repeat(np.cumsum(fan) - fan, fan)
+        ich = c0[ridx] + off
+        rel_i = np.maximum(ist[ridx] - ich * chunk, 0)
+        pch = pts // chunk
+        # shared dense segment ids over both sides
+        allk = np.concatenate([pkey, ikey[ridx]])
+        allc = np.concatenate([pch, ich])
+        kd = np.unique(allk, return_inverse=True)[1].astype(np.int64)
+        cd = np.unique(allc, return_inverse=True)[1].astype(np.int64)
+        seg = kd * (cd.max() + 1) + cd
+        got_p, got_i = timeseries.interval_kernel(
+            seg[:npts], pts - pch * chunk, pts, np.arange(npts, dtype=np.int64),
+            seg[npts:], rel_i, ien[ridx], ridx,
+            span=chunk, block_elems=int(rng.integers(1, 50)),
+        )
+        got = set(zip(got_p.tolist(), got_i.tolist()))
+        assert got == want
+
+
+@pytest.mark.parametrize("num_buckets", [1, 3, 64])
+def test_interval_join_dataset(ray_session, num_buckets):
+    import ray
+
+    rng = np.random.default_rng(23)
+    npts, nint = 500, 40
+    pkey = rng.integers(0, 6, npts).astype(np.int64)
+    pts = rng.integers(0, 5000, npts).astype(np.int64)
+    ikey = rng.integers(0, 6, nint).astype(np.int64)
+    ist = rng.integers(-100, 5000, nint).astype(np.int64)
+    ien = ist + rng.integers(0, 900, nint).astype(np.int64)
+    points = ray.data.from_arrow(
+        pa.table({"pid": np.arange(npts, dtype=np.int64), "ts": pts, "k": pkey})
+    )
+    ivals = ray.data.from_arrow(
+        pa.table({"iid": np.arange(nint, dtype=np.int64), "istart": ist,
+                  "iend": ien, "k": ikey})
+    )
+    out = timeseries.interval_join(
+        points, ivals, ts_col="ts", point_id_col="pid",
+        interval_id_col="iid", key_col="k", chunk_us=128,
+        num_buckets=num_buckets,
+    ).take_all()
+    got = {(r["pid"], r["iid"]) for r in out}
+    assert len(out) == len(got)  # exactly-once pair emission
+    want = _brute_interval(pkey, pts, ikey, ist, ien, True)
+    assert got == want
+
+
+def test_interval_join_unkeyed_and_empty_interval(ray_session):
+    import ray
+
+    points = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0, 1, 2], pa.int64()),
+                  "ts": pa.array([5, 50, 500], pa.int64())})
+    )
+    # second interval is empty (start > end): matches nothing
+    ivals = ray.data.from_arrow(
+        pa.table({"iid": pa.array([7, 8], pa.int64()),
+                  "istart": pa.array([0, 100], pa.int64()),
+                  "iend": pa.array([60, 40], pa.int64())})
+    )
+    out = timeseries.interval_join(
+        points, ivals, ts_col="ts", point_id_col="pid",
+        interval_id_col="iid", chunk_us=16,
+    ).take_all()
+    assert {(r["pid"], r["iid"]) for r in out} == {(0, 7), (1, 7)}
+
+
+def test_interval_join_fanout_cap():
+    import ray
+
+    points = ray.data.from_arrow(
+        pa.table({"pid": pa.array([0], pa.int64()), "ts": pa.array([1], pa.int64())})
+    )
+    ivals = ray.data.from_arrow(
+        pa.table({"iid": pa.array([1], pa.int64()),
+                  "istart": pa.array([0], pa.int64()),
+                  "iend": pa.array([10_000_000], pa.int64())})
+    )
+    # the ValueError surfaces wrapped in Ray's task-error envelope
+    with pytest.raises(Exception, match="max_fanout"):
+        timeseries.interval_join(
+            points, ivals, ts_col="ts", point_id_col="pid",
+            interval_id_col="iid", chunk_us=10, max_fanout=100,
+        ).take_all()
