@@ -2874,3 +2874,44 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# per-group top-N selection
+# ---------------------------------------------------------------------------
+
+
+def q_top_docs(sf_dir: str):
+    """Best-k-per-domain curation (functions/ranking.top_n_per_group):
+    the 5 longest documents of every source by n_chars, doc_id
+    tie-break — SQL's row_number() PARTITION BY.  Stage-1 partials bound
+    the exchange at (sources x 5) rows per block regardless of corpus
+    size; string keys bucket via FNV, rank via dictionary densification
+    (no Python compares)."""
+    from ..functions import ranking
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return ranking.top_n_per_group(
+        ds, key_col="source", val_col="n_chars", id_col="doc_id",
+        n=5, num_buckets=16,
+    )
+
+
+QUERIES.update({"top_docs": q_top_docs})
+ORACLE_SQL.update(
+    {
+        "top_docs": """
+            SELECT source, doc_id, n_chars, rank
+            FROM (
+                SELECT source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY n_chars DESC, doc_id ASC)
+                           AS rank
+                FROM documents
+            )
+            WHERE rank <= 5
+        """,
+    }
+)
