@@ -2915,3 +2915,70 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# bloom-pruned exact semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def _bloom_sides(sf_dir: str):
+    """Probe = lineitem rows (composite line id for oracle stability);
+    build = partkeys of large parts (p_size >= 40, ~20% of part)."""
+    import pyarrow.compute as pc
+
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    build = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(pc.field("p_size") >= 40),
+    )
+    return probe, build
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Exact SQL IN-subquery semantics through the bloom-routed plan
+    (functions/membership.bloom_semijoin): bloom-negative lineitem rows
+    drop before the exchange (no false negatives), the positive
+    fraction co-groups against per-block-deduped build keys for the
+    exact verdict."""
+    from ..functions import membership
+
+    probe, build = _bloom_sides(sf_dir)
+    return membership.bloom_semijoin(
+        probe, build, probe_key_col="l_partkey", key_col="p_partkey",
+        carry_cols=("l_orderkey", "l_linenumber", "l_partkey"),
+        nbits=1 << 20, num_buckets=32,
+    )
+
+
+def q_bloom_antijoin(sf_dir: str):
+    """Decontamination shape: lineitem rows whose partkey is NOT in the
+    large-part set — bloom-negative rows bypass the exchange entirely
+    (the dominant fraction here), only the positive sliver is verified."""
+    from ..functions import membership
+
+    probe, build = _bloom_sides(sf_dir)
+    return membership.bloom_semijoin(
+        probe, build, probe_key_col="l_partkey", key_col="p_partkey",
+        carry_cols=("l_orderkey", "l_linenumber", "l_partkey"),
+        anti=True, nbits=1 << 20, num_buckets=32,
+    )
+
+
+QUERIES.update({"bloom_semijoin": q_bloom_semijoin, "bloom_antijoin": q_bloom_antijoin})
+ORACLE_SQL.update(
+    {
+        "bloom_semijoin": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        """,
+        "bloom_antijoin": """
+            SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size >= 40)
+        """,
+    }
+)
