@@ -2982,3 +2982,114 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# distributed quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-source length quantiles (functions/quantiles.
+    exact_group_quantiles == SQL quantile_disc GROUP BY): per-block
+    (key, value) count combiner, one hash(key) exchange, vectorized
+    multi-key quantile kernel — nothing on the driver.  Source names
+    parse to their numeric suffix so the oracle output stays
+    integer-only."""
+    import pyarrow.compute as pc
+
+    from ..functions import quantiles
+
+    def prep(batch: pa.Table) -> pa.Table:
+        num = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("source"), 3, 99), pa.int64()
+        )
+        return pa.table({"src_num": num, "n_chars": batch.column("n_chars")})
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return quantiles.exact_group_quantiles(
+        ds, key_col="src_num", val_col="n_chars",
+        qs=(0.25, 0.5, 0.75, 0.875), num_buckets=8,
+    )
+
+
+def q_quantile_sketch(sf_dir: str):
+    """Histogram quantile sketch with its certified rank bound: the
+    fixed-size mergeable histogram estimates each quantile, then ONE
+    distributed strict-rank pass (per-block counter partials) checks
+    |#values < estimate  -  ceil(q*n)| <= the chosen bin's count — true
+    by construction (quantiles.sketch_quantile), surfaced as the
+    bool the oracle pins to TRUE (the HLL exact-twin + flag pattern)."""
+    from ..functions import quantiles
+
+    qs = (0.25, 0.5, 0.875)
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars"]
+    )
+    counts = quantiles.quantile_sketch(ds, "n_chars", lo=0, hi=1024, nbins=512)
+    n = int(counts.sum())
+    ests, errs = zip(*(quantiles.sketch_quantile(counts, 0, 1024, q) for q in qs))
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        ranks = np.array([(v < e).sum() for e in ests], dtype=np.int64)
+        return pa.table(
+            {"ranks": pa.FixedSizeListArray.from_arrays(pa.array(ranks), len(qs))}
+        )
+
+    parts = ds.map_batches(
+        rank_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ranks = np.sum([np.asarray(r["ranks"]) for r in parts], axis=0)
+    rows = []
+    for q, est, err, rank in zip(qs, ests, errs, ranks):
+        target = int(quantiles.disc_rank(q, n))
+        rows.append(
+            {
+                "qmil": int(q * 1000),
+                "n": n,
+                "ok": bool(abs(int(rank) - target) <= err),
+            }
+        )
+    return pa.table(
+        {
+            "qmil": pa.array([r["qmil"] for r in rows], pa.int64()),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "ok": pa.array([r["ok"] for r in rows]),
+        }
+    )
+
+
+QUERIES.update(
+    {"group_quantiles": q_group_quantiles, "quantile_sketch": q_quantile_sketch}
+)
+ORACLE_SQL.update(
+    {
+        "group_quantiles": """
+            SELECT CAST(substr(source, 4) AS BIGINT) AS src_num, qmil,
+                   CAST(q_val AS BIGINT) AS q_val
+            FROM (
+                SELECT source, 250 AS qmil,
+                       quantile_disc(n_chars, 0.25) AS q_val
+                FROM documents GROUP BY source
+                UNION ALL
+                SELECT source, 500, quantile_disc(n_chars, 0.5)
+                FROM documents GROUP BY source
+                UNION ALL
+                SELECT source, 750, quantile_disc(n_chars, 0.75)
+                FROM documents GROUP BY source
+                UNION ALL
+                SELECT source, 875, quantile_disc(n_chars, 0.875)
+                FROM documents GROUP BY source
+            )
+        """,
+        "quantile_sketch": """
+            SELECT q.qmil AS qmil,
+                   (SELECT count(*) FROM documents) AS n,
+                   TRUE AS ok
+            FROM (VALUES (250), (500), (875)) q(qmil)
+        """,
+    }
+)
