@@ -504,3 +504,68 @@ def pip_join_shuffle_adaptive(
         points_ds, rects_ds, res, salt=salt, lat_col=lat_col, lng_col=lng_col,
         point_id_col=point_id_col, hot_cells=hot, **kw,
     )
+
+
+def nearest_anchor_join(
+    points_ds,
+    anchor_ids: np.ndarray,
+    anchor_lat: np.ndarray,
+    anchor_lng: np.ndarray,
+    *,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    carry_cols=("point_id",),
+    out_col: str = "anchor_id",
+    with_distance: bool = False,
+):
+    """Assign every point to its nearest anchor by great-circle distance
+    (geo Voronoi labeling — nearest city / region centroid / cluster
+    center).  The anchor set is SMALL-side: packed once on the driver
+    (sorted by id so np.argmin's first-minimum rule breaks exact ties
+    toward the smallest anchor id, matching a SQL ``ORDER BY dist, id``
+    row_number), shipped via one ``ray.put``, and every batch computes a
+    vectorized (batch x anchors) haversine matrix — no exchange at all.
+    For anchor sets too large for a dense matrix, route through the ANN
+    operators (functions/ann.py) instead.
+
+    ``with_distance=True`` appends ``dist_rads`` (float64) for
+    threshold-style post-filters; leave it off for integer-stable
+    oracle comparisons.
+    """
+    import ray
+
+    from .h3core.boundary import great_circle_distance_rads
+
+    order = np.argsort(np.asarray(anchor_ids), kind="stable")
+    pack = {
+        "ids": np.ascontiguousarray(np.asarray(anchor_ids)[order]),
+        "lat": np.radians(np.asarray(anchor_lat, dtype=np.float64)[order]),
+        "lng": np.radians(np.asarray(anchor_lng, dtype=np.float64)[order]),
+    }
+    if len(pack["ids"]) == 0:
+        raise ValueError("anchor set is empty")
+    pack_ref = ray.put(pack)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        p = pack_ref
+        if isinstance(p, ray.ObjectRef):
+            p = ray.get(p)
+        lat = np.radians(
+            batch.column(lat_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        lng = np.radians(
+            batch.column(lng_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        d = great_circle_distance_rads(
+            lat[:, None], lng[:, None], p["lat"][None, :], p["lng"][None, :]
+        )
+        best = np.argmin(d, axis=1)
+        out = batch.select(list(carry_cols))
+        out = out.append_column(out_col, pa.array(p["ids"][best]))
+        if with_distance:
+            out = out.append_column(
+                "dist_rads", pa.array(d[np.arange(len(best)), best])
+            )
+        return out
+
+    return points_ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -3093,3 +3093,73 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# nearest-anchor assignment (geo Voronoi labeling)
+# ---------------------------------------------------------------------------
+
+
+def q_nearest_anchor(sf_dir: str):
+    """Every event labeled with its nearest of 25 anchor sites by
+    great-circle distance (join.nearest_anchor_join): anchors broadcast
+    once, per-batch vectorized haversine matrix, NO exchange.  Ties
+    break toward the smallest anchor id on both engines (anchors are
+    ~14 degrees apart minimum, so cross-engine float noise at Voronoi
+    boundaries is not reachable by the synthetic grid coordinates)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    nk = t.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    alat = ((nk * 13) % 140 - 70).astype(np.float64) + 0.5
+    alng = ((nk * 53) % 340 - 170).astype(np.float64) + 0.5
+
+    def add_coords(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+        batch = batch.append_column("lat", pa.array(event_lat(eid)))
+        return batch.append_column("lng", pa.array(event_lng(eid)))
+
+    pts = _events(sf_dir).map_batches(
+        add_coords, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return join_mod.nearest_anchor_join(
+        pts, nk, alat, alng, carry_cols=("event_id",), out_col="anchor_id"
+    )
+
+
+QUERIES.update({"nearest_anchor": q_nearest_anchor})
+ORACLE_SQL.update(
+    {
+        "nearest_anchor": """
+            WITH pts AS (
+                SELECT event_id,
+                       ((event_id * 37) % 16000) / 100.0 - 80.0 AS lat,
+                       ((event_id * 73) % 36000) / 100.0 - 180.0 AS lng
+                FROM events
+            ), anchors AS (
+                SELECT n_nationkey AS aid,
+                       (n_nationkey * 13) % 140 - 70 + 0.5 AS alat,
+                       (n_nationkey * 53) % 340 - 170 + 0.5 AS alng
+                FROM nation
+            ), d AS (
+                SELECT p.event_id, a.aid,
+                       2 * asin(sqrt(
+                           sin(radians(a.alat - p.lat) / 2)
+                             * sin(radians(a.alat - p.lat) / 2)
+                           + cos(radians(p.lat)) * cos(radians(a.alat))
+                             * sin(radians(a.alng - p.lng) / 2)
+                             * sin(radians(a.alng - p.lng) / 2)
+                       )) AS dist
+                FROM pts p CROSS JOIN anchors a
+            )
+            SELECT event_id, aid AS anchor_id
+            FROM (
+                SELECT event_id, aid,
+                       row_number() OVER (PARTITION BY event_id
+                                          ORDER BY dist, aid) AS rn
+                FROM d
+            )
+            WHERE rn = 1
+        """,
+    }
+)

@@ -1157,3 +1157,49 @@ def test_adaptive_salted_pip_join(ray_session):
         ).select_columns(["point_id", "rect_id"])
     )
     assert adaptive == constant == ref and len(ref) > 4000
+
+
+def test_nearest_anchor_join(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray import join as join_mod
+    from h3ray.h3core.boundary import great_circle_distance_rads
+
+    rng = np.random.default_rng(29)
+    n = 400
+    plat = rng.uniform(-85, 85, n)
+    plng = rng.uniform(-180, 180, n)
+    aids = np.array([30, 10, 20], dtype=np.int64)  # unsorted on purpose
+    alat = np.array([10.0, -40.0, 60.0])
+    alng = np.array([20.0, 150.0, -100.0])
+    ds = ray.data.from_arrow(
+        pa.table({"pid": np.arange(n, dtype=np.int64),
+                  "lat": plat, "lng": plng})
+    ).repartition(4)
+    out = join_mod.nearest_anchor_join(
+        ds, aids, alat, alng, carry_cols=("pid",), with_distance=True
+    ).take_all()
+    assert len(out) == n
+    got = {r["pid"]: (r["anchor_id"], r["dist_rads"]) for r in out}
+    for i in range(n):
+        d = great_circle_distance_rads(
+            np.radians(plat[i]), np.radians(plng[i]),
+            np.radians(alat), np.radians(alng),
+        )
+        want = aids[np.lexsort((aids, d))[0]]
+        assert got[i][0] == want
+        assert abs(got[i][1] - d.min()) < 1e-12
+
+
+def test_nearest_anchor_empty_anchors_raises(ray_session):
+    import numpy as np
+    import pytest
+
+    from h3ray import join as join_mod
+
+    with pytest.raises(ValueError, match="empty"):
+        join_mod.nearest_anchor_join(
+            None, np.array([], dtype=np.int64), np.array([]), np.array([])
+        )
