@@ -315,3 +315,105 @@ def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
     kernel = make_bruteforce_topk_kernel(qref, k, emb_col, id_col)
     partials = ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
     return _reduce_topk(partials, k), len(dirs)
+
+
+# --- int8 scalar quantization --------------------------------------------
+
+
+def quantize_matrix(x: np.ndarray) -> np.ndarray:
+    """Symmetric per-vector int8 quantization of row vectors: normalize
+    (cosine is per-vector scale-invariant, so the norm needs no side
+    channel) then round each component to [-127, 127].  floor(x + 0.5)
+    keeps the house rounding rule (half away from zero for positives,
+    deterministic everywhere)."""
+    q = np.floor(_normalize(x) * 127.0 + 0.5)
+    return np.clip(q, -127, 127).astype(np.int8)
+
+
+def make_quantize_kernel(emb_col: str = "embedding", id_col: str = "vec_id",
+                         out_col: str = "q_emb"):
+    """map_batches kernel: (id, int8-quantized embedding) — 4x smaller
+    than float32 on the wire and in the store, the storage/shuffle lever
+    for embedding tables at 100 TB."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        x = quantize_matrix(_to_matrix(batch, emb_col))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                out_col: pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.reshape(-1)), x.shape[1]
+                ),
+            }
+        )
+
+    return kernel
+
+
+def quantize_embeddings(ds, emb_col: str = "embedding",
+                        id_col: str = "vec_id", out_col: str = "q_emb"):
+    """Dataset of (id_col, ``out_col`` int8 fixed-size list)."""
+    return ds.map_batches(
+        make_quantize_kernel(emb_col, id_col, out_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def make_quantized_topk_kernel(queries_ref, k: int = 10,
+                               emb_col: str = "embedding",
+                               id_col: str = "vec_id"):
+    """Partial top-k by int8-quantized dot product.  queries_ref holds
+    (query_ids, int8 query matrix).  Scores are integer dots carried as
+    float64 ("cosine" column, so merge_topk / _reduce_topk apply
+    unchanged): |dot| <= dim * 127^2, exactly representable in float64
+    for any realistic dim, so ranking and ties are integer-exact.  The
+    matmul runs through float64 BLAS — far faster than numpy's non-BLAS
+    integer path, with no rounding at these magnitudes."""
+    import ray
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):
+            q = ray.get(q)
+        qids, qmat = q
+        x = quantize_matrix(_to_matrix(batch, emb_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sim = qmat.astype(np.float64) @ x.T.astype(np.float64)  # (Q, B) int-valued
+        Q, B = sim.shape
+        kk = min(k, B)
+        order = np.lexsort(
+            (np.tile(ids, Q), -sim.ravel(), np.repeat(np.arange(Q), B))
+        ).reshape(Q, B)[:, :kk]
+        bi = (order % B).reshape(-1)
+        qi = np.repeat(np.arange(Q), kk)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids, dtype=np.int64)[qi]),
+                "vec_id": pa.array(ids[bi]),
+                "cosine": pa.array(sim[qi, bi]),
+            }
+        )
+
+    return kernel
+
+
+def quantized_topk(ds, query_ids, query_matrix, k: int = 10,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   fanin: int = 8) -> pa.Table:
+    """Brute-force top-k under int8 quantization: queries quantize once
+    on the driver (broadcast via ray.put), every batch quantizes its
+    rows on the fly and scores integer dots; the same bounded tree
+    reduce as bruteforce_topk returns Q*k rows.  The "cosine" column
+    holds the integer dot (max 127^2 * dim); rank/tie semantics match
+    bruteforce_topk (score DESC, vec_id ASC)."""
+    import ray
+
+    qmat = quantize_matrix(np.asarray(query_matrix, dtype=np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat))
+    partials = ds.map_batches(
+        make_quantized_topk_kernel(ref, k, emb_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _reduce_topk(partials, k, fanin)

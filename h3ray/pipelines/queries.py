@@ -3163,3 +3163,55 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_ann_quantized(sf_dir: str):
+    """int8-quantized ANN vs the float brute force (functions/ann.
+    quantized_topk): both top-5 lists computed distributedly for the
+    first 10 query vectors, per-query recall@5 must clear 0.8 (the HLL
+    flag pattern — quantization error is deterministic for this fixed
+    corpus, so the bool is stable; a quantizer regression flips it).
+    Self-top-1 is additionally pinned exactly."""
+    from ..functions import ann as ann_fns
+
+    ids, Q = _query_vectors(sf_dir, 10)
+    quant = ann_fns.quantized_topk(_embeddings_ds(sf_dir), ids, Q, k=5)
+    exact = ann_fns.bruteforce_topk(_embeddings_ds(sf_dir), ids, Q, k=5)
+
+    def per_query_sets(t: pa.Table):
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        out = {}
+        for qq, vv in zip(q, v):
+            out.setdefault(int(qq), set()).add(int(vv))
+        return out
+
+    gs, es = per_query_sets(quant), per_query_sets(exact)
+    qt = quant.to_pandas()
+    self1 = qt[qt["rank"] == 0].set_index("query_id")["vec_id"]
+    rows = sorted(
+        (
+            int(qid),
+            bool(len(gs[qid] & es[qid]) >= 4),
+            bool(self1.loc[qid] == qid),
+        )
+        for qid in es
+    )
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "recall_ok": pa.array([r[1] for r in rows]),
+            "self_top1": pa.array([r[2] for r in rows]),
+        }
+    )
+
+
+QUERIES.update({"ann_quantized": q_ann_quantized})
+ORACLE_SQL.update(
+    {
+        "ann_quantized": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok, TRUE AS self_top1
+            FROM embeddings ORDER BY vec_id LIMIT 10
+        """,
+    }
+)

@@ -1203,3 +1203,50 @@ def test_nearest_anchor_empty_anchors_raises(ray_session):
         join_mod.nearest_anchor_join(
             None, np.array([], dtype=np.int64), np.array([]), np.array([])
         )
+
+
+def test_quantized_ann_self_match_and_recall(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray.functions import ann
+
+    rng = np.random.default_rng(41)
+    n, dim = 400, 32
+    X = rng.normal(size=(n, dim))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": np.arange(n, dtype=np.int64),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.reshape(-1).astype(np.float32)), dim
+                ),
+            }
+        )
+    ).repartition(4)
+    qt = ann.quantized_topk(ds, np.arange(12), X[:12], k=5)
+    qdf = qt.to_pandas()
+    # integer dots: every score is an exact integer
+    assert (qdf["cosine"] == qdf["cosine"].round()).all()
+    top1 = qdf[qdf["rank"] == 0].set_index("query_id")["vec_id"]
+    assert (top1.loc[range(12)] == np.arange(12)).all()  # self-match survives
+    # recall@5 vs exact cosine: int8 on 32-dim gaussians stays high
+    ex = ann.bruteforce_topk(ds, np.arange(12), X[:12], k=5).to_pandas()
+    got = qdf.groupby("query_id")["vec_id"].apply(set)
+    want = ex.groupby("query_id")["vec_id"].apply(set)
+    recall = np.mean([len(got[q] & want[q]) / 5 for q in range(12)])
+    assert recall >= 0.8, recall
+
+
+def test_quantize_matrix_bounds_and_zero_vector():
+    import numpy as np
+
+    from h3ray.functions import ann
+
+    x = np.array([[3.0, -4.0], [0.0, 0.0], [1e-30, 0.0]])
+    q = ann.quantize_matrix(x)
+    assert q.dtype == np.int8
+    assert q.max() <= 127 and q.min() >= -127
+    assert (q[0] == [76, -102]).all()  # 127*(0.6, -0.8) rounded
+    assert (q[1] == 0).all()
