@@ -41,6 +41,32 @@ import pyarrow as pa
 from ._util import bucket_single as _bucket_of
 
 
+def value_count_partial(
+    batch: pa.Table, key_col: str, val_col: str, num_buckets: int
+) -> pa.Table:
+    """Per-block (key, value) -> count combiner rows with their key
+    bucket: the shared stage-1 of exact_group_quantiles and
+    ranking.mode_per_group.  Output volume = the block's distinct
+    (key, value) pairs, not its row count."""
+    key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    val = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((val, key))
+    k, v = key[order], val[order]
+    first = np.concatenate([[True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
+    gid = np.cumsum(first) - 1
+    cnt = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
+    np.add.at(cnt, gid, 1)
+    k, v = k[first], v[first]
+    return pa.table(
+        {
+            "bucket": pa.array(_bucket_of(k, num_buckets)),
+            "key": pa.array(k),
+            "val": pa.array(v),
+            "cnt": pa.array(cnt),
+        }
+    )
+
+
 def disc_rank(q: float, n: np.ndarray | int) -> np.ndarray | int:
     """DuckDB quantile_disc's 1-based target rank: max(1, ceil(q*n))."""
     return np.maximum(1, np.ceil(q * np.asarray(n, dtype=np.float64))).astype(
@@ -99,23 +125,7 @@ def exact_group_quantiles(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
-        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        val = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((val, key))
-        k, v = key[order], val[order]
-        first = np.concatenate([[True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
-        gid = np.cumsum(first) - 1
-        cnt = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, dtype=np.int64)
-        np.add.at(cnt, gid, 1)
-        k, v = k[first], v[first]
-        return pa.table(
-            {
-                "bucket": pa.array(_bucket_of(k, num_buckets)),
-                "key": pa.array(k),
-                "val": pa.array(v),
-                "cnt": pa.array(cnt),
-            }
-        )
+        return value_count_partial(batch, key_col, val_col, num_buckets)
 
     def final(batch: pa.Table) -> pa.Table:
         key = batch.column("key").to_numpy(zero_copy_only=False)

@@ -133,3 +133,65 @@ def top_n_per_group(
 
     kept = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return kept.groupby("bucket").map_groups(final, batch_format="pyarrow")
+
+
+# --- per-group mode -----------------------------------------------------------
+
+
+def mode_kernel(
+    key: np.ndarray, val: np.ndarray, cnt: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(key, mode value, mode count) per key from (key, value, count)
+    rows (values may repeat across upstream blocks; counts sum first).
+    Tie-break: highest count, then SMALLEST value — deterministic and
+    SQL-expressible (ORDER BY count DESC, value ASC)."""
+    if len(key) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    order = np.lexsort((val, key))
+    k, v, c = key[order], val[order], cnt[order]
+    first = np.concatenate([[True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
+    gid = np.cumsum(first) - 1
+    cm = np.zeros(int(gid[-1]) + 1, dtype=np.int64)
+    np.add.at(cm, gid, c)
+    k, v, c = k[first], v[first], cm
+    # winner per key: sort by (key, count DESC, value ASC), take firsts
+    order2 = np.lexsort((v, ~c, k))
+    ks = k[order2]
+    head = np.concatenate([[True], ks[1:] != ks[:-1]])
+    sel = order2[head]
+    return k[sel], v[sel], c[sel]
+
+
+def mode_per_group(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    num_buckets: int = 64,
+    count_col: str = "mode_count",
+    out_col: str = "mode_val",
+):
+    """Most frequent ``val_col`` per ``key_col`` (int64 both), count-desc
+    then smallest-value tie-break.  Same two-stage shape as
+    quantiles.exact_group_quantiles: per-block (key, value) count
+    combiner (exchange scales with per-block distincts, not rows), one
+    hash(key) exchange, vectorized winner kernel.  Returns (key_col,
+    ``out_col``, ``count_col``)."""
+    from .quantiles import value_count_partial
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return value_count_partial(batch, key_col, val_col, num_buckets)
+
+    def final(batch: pa.Table) -> pa.Table:
+        k, v, c = mode_kernel(
+            batch.column("key").to_numpy(zero_copy_only=False),
+            batch.column("val").to_numpy(zero_copy_only=False),
+            batch.column("cnt").to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {key_col: pa.array(k), out_col: pa.array(v), count_col: pa.array(c)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bucket").map_groups(final, batch_format="pyarrow")

@@ -3215,3 +3215,50 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_mode_per_group(sf_dir: str):
+    """Most frequent quantity per part (ranking.mode_per_group ==
+    SQL's count-ranked row_number): the (key, value)-count combiner
+    bounds the exchange at per-block distinct pairs; ties break toward
+    the smallest value on both engines."""
+    from ..functions import ranking
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return ranking.mode_per_group(
+        ds, key_col="l_partkey", val_col="qty", num_buckets=16
+    )
+
+
+QUERIES.update({"mode_per_group": q_mode_per_group})
+ORACLE_SQL.update(
+    {
+        "mode_per_group": """
+            SELECT l_partkey, mode_val, mode_count
+            FROM (
+                SELECT l_partkey,
+                       CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS mode_val,
+                       count(*) AS mode_count,
+                       row_number() OVER (
+                           PARTITION BY l_partkey
+                           ORDER BY count(*) DESC,
+                                    CAST(FLOOR(l_quantity + 0.5) AS BIGINT) ASC
+                       ) AS rn
+                FROM lineitem
+                GROUP BY 1, 2
+            )
+            WHERE rn = 1
+        """,
+    }
+)

@@ -96,3 +96,56 @@ def test_top_n_validation():
         ranking.top_n_per_group(
             None, key_col="k", val_col="k", id_col="i", n=1
         )
+
+
+def _brute_mode(key, val):
+    out = {}
+    for k in set(key.tolist()):
+        vs = val[key == k]
+        u, c = np.unique(vs, return_counts=True)
+        best = np.lexsort((u, -c))[0]
+        out[int(k)] = (int(u[best]), int(c[best]))
+    return out
+
+
+def test_mode_kernel_brute_force():
+    rng = np.random.default_rng(31)
+    for _ in range(20):
+        m = int(rng.integers(1, 300))
+        key = rng.integers(0, 7, m).astype(np.int64)
+        val = rng.integers(0, 6, m).astype(np.int64)  # heavy ties
+        # simulate two blocks' partials
+        halves = []
+        for sl in (slice(None, m // 2), slice(m // 2, None)):
+            k, v = key[sl], val[sl]
+            if len(k) == 0:
+                continue
+            o = np.lexsort((v, k))
+            k, v = k[o], v[o]
+            f = np.concatenate([[True], (k[1:] != k[:-1]) | (v[1:] != v[:-1])])
+            g = np.cumsum(f) - 1
+            c = np.zeros(g[-1] + 1, np.int64)
+            np.add.at(c, g, 1)
+            halves.append((k[f], v[f], c))
+        kk = np.concatenate([h[0] for h in halves])
+        vv = np.concatenate([h[1] for h in halves])
+        cc = np.concatenate([h[2] for h in halves])
+        gk, gv, gc = ranking.mode_kernel(kk, vv, cc)
+        got = {int(a): (int(b), int(c_)) for a, b, c_ in zip(gk, gv, gc)}
+        assert got == _brute_mode(key, val)
+
+
+def test_mode_per_group_dataset(ray_session):
+    import ray
+
+    rng = np.random.default_rng(37)
+    m = 4000
+    key = rng.integers(0, 11, m).astype(np.int64)
+    val = rng.integers(0, 5, m).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": key, "v": val})).repartition(6)
+    out = ranking.mode_per_group(
+        ds, key_col="k", val_col="v", num_buckets=4
+    ).take_all()
+    got = {r["k"]: (r["mode_val"], r["mode_count"]) for r in out}
+    assert len(got) == len(out) == 11
+    assert got == _brute_mode(key, val)
