@@ -871,6 +871,54 @@ def run_vertex_scale():
         ray.shutdown()
 
 
+
+def run_new_ops():
+    """Labeled (non-headline) timings for the round-4 operators at
+    $GRAFT_SF_DIR: each query runs through the shipped queries() plan
+    and is consumed to completion (count() for Datasets; pa.Table
+    results already executed).  The shuffle machinery is warmed once
+    before timing (see BASELINE.md bench-warmup note)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        from h3ray.pipelines.queries import QUERIES
+
+        names = [
+            "interval_join", "top_docs", "mode_per_group", "group_quantiles",
+            "bloom_semijoin", "bloom_antijoin", "nearest_anchor",
+            "ann_quantized", "quantile_sketch",
+        ]
+
+        def consume(res):
+            return res.count() if hasattr(res, "count") else res.num_rows
+
+        # warm: one small shuffle + worker spin-up outside the timed region
+        consume(QUERIES["top_docs"](SF_DIR))
+        out = {}
+        rows = {}
+        t_all = time.perf_counter()
+        for name in names:
+            t0 = time.perf_counter()
+            rows[name] = int(consume(QUERIES[name](SF_DIR)))
+            out[name] = round(time.perf_counter() - t0, 3)
+        total = round(time.perf_counter() - t_all, 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "round-4 operator wall time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": out,
+                    "rows": rows,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         _scaling_child(int(sys.argv[sys.argv.index("--scaling-child") + 1]))
@@ -886,5 +934,7 @@ if __name__ == "__main__":
         run_ivf_recall()
     elif "--vertex-scale" in sys.argv:
         run_vertex_scale()
+    elif "--ops" in sys.argv:
+        run_new_ops()
     else:
         run_bench()
