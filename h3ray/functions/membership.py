@@ -238,3 +238,90 @@ def bloom_semijoin(
         probe_negative, batch_format="pyarrow", zero_copy_batch=True
     )
     return verified.union(neg)
+
+
+def distinct_keys_broadcast(ds, col: str, max_keys: int = 4_000_000,
+                            fanin: int = 16) -> np.ndarray:
+    """Collect the DISTINCT int64 keys of a column for broadcasting:
+    per-block unique partials, one in-Ray tree-unique level (the
+    cms_from_dataset scheme), then a final driver unique over the
+    ``fanin`` merged partials.  Raises if the result exceeds
+    ``max_keys`` — the guard that keeps this a SMALL-side tool (a
+    4M-key int64 array is 32 MB broadcast; beyond that use the
+    co-group path of bloom_semijoin)."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        k = np.unique(
+            batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"k": pa.array(k)})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column("k").to_numpy(zero_copy_only=False))
+        if len(k) > max_keys:
+            raise ValueError(
+                f"distinct key count exceeds max_keys={max_keys} in a merge "
+                "partial; use the co-group path (bloom_semijoin without "
+                "broadcast) for large build sides"
+            )
+        return pa.table({"k": pa.array(k)})
+
+    parts = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    level1 = parts.repartition(fanin).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    )
+    import ray
+
+    tables = [t for t in ray.get(level1.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return np.zeros(0, dtype=np.int64)
+    keys = np.unique(
+        pa.concat_tables(tables).column("k").to_numpy(zero_copy_only=False)
+    )
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"distinct key count {len(keys)} exceeds max_keys={max_keys}; "
+            "use the co-group path (bloom_semijoin without broadcast)"
+        )
+    return keys
+
+
+def broadcast_semijoin(
+    probe_ds,
+    keys_ds,
+    *,
+    probe_key_col: str,
+    key_col: str,
+    carry_cols: tuple[str, ...],
+    anti: bool = False,
+    max_keys: int = 4_000_000,
+):
+    """Exact semi/anti join with a BROADCAST build side: the distinct
+    build keys collect through an in-Ray tree-unique (guarded by
+    ``max_keys``), ship once via ray.put, and every probe batch answers
+    membership with one sorted searchsorted — NO exchange, ONE probe
+    pass, exact IN / NOT IN semantics.  The small-build sibling of
+    ``bloom_semijoin`` (which streams arbitrarily large build sides
+    through a co-group); pick by build-side cardinality."""
+    import ray
+
+    if not carry_cols:
+        raise ValueError("carry_cols must name at least one probe column")
+    keys_ref = ray.put(distinct_keys_broadcast(keys_ds, key_col, max_keys))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ks = keys_ref
+        if isinstance(ks, ray.ObjectRef):
+            ks = ray.get(ks)
+        pk = batch.column(probe_key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(ks):
+            idx = np.minimum(np.searchsorted(ks, pk), len(ks) - 1)
+            present = ks[idx] == pk
+        else:
+            present = np.zeros(len(pk), dtype=bool)
+        keep = ~present if anti else present
+        return batch.select(list(carry_cols)).filter(pa.array(keep))
+
+    return probe_ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)

@@ -85,3 +85,35 @@ def test_bloom_semijoin_empty_build(ray_session):
         carry_cols=("pid",), anti=True, nbits=1 << 10,
     ).take_all()
     assert {r["pid"] for r in anti} == {1, 2}
+
+
+@pytest.mark.parametrize("anti", [False, True])
+def test_broadcast_semijoin_matches_cogroup(ray_session, anti):
+    import ray
+
+    rng = np.random.default_rng(43)
+    pkey = rng.integers(0, 300, 2000).astype(np.int64)
+    pid = np.arange(2000, dtype=np.int64)
+    bkey = rng.integers(0, 300, 60).astype(np.int64)
+    probe = ray.data.from_arrow(pa.table({"pid": pid, "key": pkey})).repartition(5)
+    build = ray.data.from_arrow(pa.table({"bk": pa.array(bkey)})).repartition(2)
+    got = membership.broadcast_semijoin(
+        probe, build, probe_key_col="key", key_col="bk",
+        carry_cols=("pid",), anti=anti,
+    ).take_all()
+    bset = set(bkey.tolist())
+    want = {int(i) for i, k in zip(pid, pkey)
+            if ((k not in bset) if anti else (k in bset))}
+    assert {r["pid"] for r in got} == want
+
+
+def test_distinct_keys_broadcast_cap(ray_session):
+    import ray
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(np.arange(1000, dtype=np.int64))})
+    )
+    with pytest.raises(Exception, match="max_keys"):
+        membership.distinct_keys_broadcast(ds, "k", max_keys=10)
+    keys = membership.distinct_keys_broadcast(ds, "k", max_keys=2000)
+    assert len(keys) == 1000 and keys[0] == 0 and keys[-1] == 999
