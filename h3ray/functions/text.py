@@ -255,3 +255,127 @@ def document_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 
                     acc[mask] = (acc[mask] ^ M[mask, r]) * FNV_PRIME
                 fps[long_mask] = acc[long_mask]
     return batch.append_column("fingerprint", pa.array(fps))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics + term search (inverted-index family)
+# ---------------------------------------------------------------------------
+
+
+def _batch_term_partials(batch: pa.Table, text_col: str, doc_col: str):
+    """(terms pa.Array, df_partial, tf_partial) for one batch of docs:
+    whitespace tokens dictionary-encoded once, tf via bincount, df via
+    distinct (doc, term) pairs.  Docs live in exactly one row/batch, so
+    summing these partials over batches is exact."""
+    toks = split_tokens(batch.column(text_col))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = list_offsets(toks)
+    flat = toks.values
+    doc_of_tok = np.repeat(
+        np.arange(batch.num_rows, dtype=np.int64), np.diff(off)
+    )
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    # split_tokens yields one '' token for fully-empty rows: mask it out
+    lens = pc.utf8_length(vocab).to_numpy(zero_copy_only=False)
+    ok = lens[idx] > 0
+    idx, doc_of_tok = idx[ok], doc_of_tok[ok]
+    nv = len(vocab)
+    tf = np.bincount(idx, minlength=nv).astype(np.int64)
+    pair = doc_of_tok * np.int64(nv) + idx
+    uterm = np.unique(pair) % np.int64(nv)
+    df = np.bincount(uterm, minlength=nv).astype(np.int64)
+    used = tf > 0
+    return vocab.take(pa.array(np.nonzero(used)[0])), df[used], tf[used]
+
+
+def token_doc_stats(ds, text_col: str = "text", doc_col: str = "doc_id",
+                    num_buckets: int = 64):
+    """Corpus vocabulary statistics: one row per distinct whitespace
+    token with ``df`` (distinct documents containing it) and ``tf``
+    (total occurrences) — the document-frequency table behind stopword
+    pruning, idf weighting and tokenizer vocab selection.
+
+    Scale: per-batch dictionary-encoded partials bound the exchange at
+    (vocab-per-block x blocks), then ONE bucketed groupby with a
+    vectorized dictionary-merge per bucket (the high-cardinality groupby
+    rule — at web scale the vocabulary has millions of entries, far too
+    many for Ray's per-key combine)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, df, tf = _batch_term_partials(batch, text_col, doc_col)
+        bucket = (hash_u64_batch(terms) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "term": terms,
+                "df": pa.array(df),
+                "tf": pa.array(tf),
+                "bucket": pa.array(bucket),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(group.column("term").combine_chunks())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = len(enc.dictionary)
+        df = np.zeros(nv, dtype=np.int64)
+        tf = np.zeros(nv, dtype=np.int64)
+        np.add.at(df, idx, group.column("df").to_numpy(zero_copy_only=False))
+        np.add.at(tf, idx, group.column("tf").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"term": enc.dictionary, "df": pa.array(df), "tf": pa.array(tf)}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return parts.groupby("bucket").map_groups(merge, batch_format="pyarrow")
+
+
+def term_search(ds, terms: list[str], *, text_col: str = "text",
+                doc_col: str = "doc_id", k: int = 20):
+    """Top-``k`` documents for a bag-of-words query: score = total
+    occurrences of any query term in the doc (ties toward the smallest
+    doc id), 1-based ``rank``.  Returns (doc_id, score, rank).
+
+    Scale: the query-term set ships once via ``ray.put``; each batch
+    scores its docs with one dictionary-encode + isin mask (no exchange
+    for scoring, docs never leave their block), then the global top-k
+    reduces through ranking.top_n_per_group's partial-top-k combiner —
+    exchange volume is k rows per upstream block, not one row per
+    matching doc."""
+    import ray
+
+    from .ranking import top_n_per_group
+
+    terms_ref = ray.put(pa.array(sorted(set(terms))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qset = ray.get(terms_ref)
+        toks = split_tokens(batch.column(text_col))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = list_offsets(toks)
+        hit = pc.is_in(toks.values, value_set=qset).to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        doc_of_tok = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        sc = np.bincount(doc_of_tok[hit], minlength=n).astype(np.int64)
+        pos = sc > 0
+        did = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                doc_col: pa.array(did[pos]),
+                "score": pa.array(sc[pos]),
+                "grp": pa.array(np.zeros(int(pos.sum()), dtype=np.int64)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    top = top_n_per_group(
+        scored, key_col="grp", val_col="score", id_col=doc_col, n=k
+    )
+    return top.drop_columns(["grp"])

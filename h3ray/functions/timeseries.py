@@ -734,3 +734,114 @@ def asof_join_chunked(
         .groupby("bucket")
         .map_groups(group, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+
+def sessionize_kernel(
+    key: np.ndarray, ts: np.ndarray, eid: np.ndarray, gap_us: int
+):
+    """Vectorized sessionization of one bucket: events ordered by
+    (key, ts, id); a new session starts at each key's first event and
+    whenever the gap to the SAME key's previous event exceeds
+    ``gap_us``.  Returns (order, session_seq aligned to the input order)
+    where session_seq is 1-based per key."""
+    order = np.lexsort((eid, ts, key))
+    k, t = key[order], ts[order]
+    n = len(k)
+    new_key = np.ones(n, dtype=bool)
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        new_key[1:] = k[1:] != k[:-1]
+        brk[1:] = new_key[1:] | ((t[1:] - t[:-1]) > gap_us)
+    sid = np.cumsum(brk)  # global (bucket-local) session counter
+    key_starts = np.nonzero(new_key)[0]
+    key_lens = np.diff(np.concatenate([key_starts, [n]]))
+    base = np.repeat(sid[key_starts], key_lens)
+    seq_sorted = sid - base + 1
+    seq = np.empty(n, dtype=np.int64)
+    seq[order] = seq_sorted
+    return order, seq
+
+
+def sessionize(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_us: int,
+    num_buckets: int = 256,
+    emit: str = "events",
+):
+    """Split each key's event stream into sessions separated by
+    inactivity gaps > ``gap_us`` (the classic web-log / user-activity
+    segmentation; SQL twin: ``sum(gap_break) OVER (PARTITION BY key
+    ORDER BY ts, id)``).
+
+    ``emit="events"`` returns one row per event: (id_col, key_col,
+    session_seq int64, 1-based per key).  ``emit="sessions"`` returns one
+    row per session: (key_col, session_seq, n_events, duration_us,
+    start_us).  Ordering ties on equal ts break by ascending id, so the
+    result is deterministic for any input layout.
+
+    Scale: whole-key buckets (the as-of contract — one key's events fit
+    a task; keys hash over ``num_buckets`` so only per-KEY volume
+    matters), one exchange, one lexsort+cumsum kernel per bucket.
+    """
+    if emit not in ("events", "sessions"):
+        raise ValueError(f"emit must be 'events' or 'sessions', got {emit!r}")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    _bucket_of(key, np.zeros_like(key), num_buckets)
+                ),
+                "key": pa.array(key),
+                "ts": pa.array(ts),
+                "eid": pa.array(eid),
+            }
+        )
+
+    def group(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        eid = batch.column("eid").to_numpy(zero_copy_only=False)
+        order, seq = sessionize_kernel(key, ts, eid, gap_us)
+        if emit == "events":
+            return pa.table(
+                {
+                    id_col: pa.array(eid),
+                    key_col: pa.array(key),
+                    "session_seq": pa.array(seq),
+                }
+            )
+        # session rows: contiguous runs of the sorted view
+        k, t = key[order], ts[order]
+        seq_sorted = seq[order]
+        n = len(k)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            brk[1:] = (k[1:] != k[:-1]) | (seq_sorted[1:] != seq_sorted[:-1])
+        starts = np.nonzero(brk)[0]
+        lens = np.diff(np.concatenate([starts, [n]]))
+        ends = starts + lens - 1
+        return pa.table(
+            {
+                key_col: pa.array(k[starts]),
+                "session_seq": pa.array(seq_sorted[starts]),
+                "n_events": pa.array(lens.astype(np.int64)),
+                "duration_us": pa.array((t[ends] - t[starts]).astype(np.int64)),
+                "start_us": pa.array(t[starts].astype(np.int64)),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    return keyed_ds.groupby("bucket").map_groups(group, batch_format="pyarrow")

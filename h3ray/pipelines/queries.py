@@ -3262,3 +3262,224 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-segment removal (line dedup family)
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style duplicated-segment removal
+    (functions/linedup.remove_duplicated_segments): segments occurring
+    in >= 76% of documents are stripped from every document (on this
+    single-line corpus the delimiter is ' ', i.e. boilerplate-token
+    pruning; with '\\n' the identical plan is classic line dedup —
+    pinned by tests/test_linedup.py on multi-line text).  The threshold
+    is integer-exact on both sides: df * 100 >= 76 * n_docs."""
+    import pyarrow.parquet as pq
+
+    from ..functions import linedup
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    min_docs = -(-76 * n_docs // 100)  # ceil(0.76 * n) in exact ints
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = linedup.remove_duplicated_segments(
+        ds, text_col="text", delim=b" ", min_docs=min_docs, num_buckets=16
+    )
+    return out.drop_columns(["text"])
+
+
+QUERIES.update({"line_dedup": q_line_dedup})
+ORACLE_SQL.update(
+    {
+        "line_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) AS i
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS arr
+                      FROM documents)
+            ),
+            tk AS (SELECT * FROM toks WHERE tok <> ''),
+            dup AS (
+                SELECT tok FROM tk GROUP BY tok
+                HAVING count(DISTINCT doc_id) * 100
+                       >= 76 * (SELECT count(*) FROM documents)
+            )
+            SELECT d.doc_id AS doc_id,
+                   coalesce(string_agg(
+                       CASE WHEN tk.tok IN (SELECT tok FROM dup) THEN NULL
+                            ELSE tk.tok END, ' ' ORDER BY tk.i), '')
+                       AS kept_text,
+                   CAST(count(CASE WHEN tk.tok IS NOT NULL AND tk.tok NOT IN
+                                   (SELECT tok FROM dup) THEN 1 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(count(CASE WHEN tk.tok IN (SELECT tok FROM dup)
+                                   THEN 1 END) AS BIGINT) AS n_dropped
+            FROM documents d LEFT JOIN tk ON d.doc_id = tk.doc_id
+            GROUP BY d.doc_id
+        """,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 12 * 3_600_000_000  # 12 h inactivity ends a session
+
+
+def _session_events(sf_dir: str):
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts_us": pa.array(
+                    b.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Per-event session labels (functions/timeseries.sessionize): a new
+    session starts after > 12 h of inactivity for the same user — SQL's
+    sum(gap_break) OVER (PARTITION BY user ORDER BY ts, id).  Whole-key
+    buckets, one exchange, one lexsort+cumsum kernel per bucket."""
+    from ..functions import timeseries
+
+    return timeseries.sessionize(
+        _session_events(sf_dir),
+        key_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        gap_us=_SESSION_GAP_US,
+        num_buckets=64,
+        emit="events",
+    )
+
+
+def q_session_stats(sf_dir: str):
+    """Session-level rollup of the same segmentation: one row per
+    (user, session) with event count, duration and start — computed
+    in-kernel from the contiguous sorted runs, no second exchange."""
+    from ..functions import timeseries
+
+    return timeseries.sessionize(
+        _session_events(sf_dir),
+        key_col="user_id",
+        ts_col="ts_us",
+        id_col="event_id",
+        gap_us=_SESSION_GAP_US,
+        num_buckets=64,
+        emit="sessions",
+    )
+
+
+_SESSION_SQL_BASE = f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+    b AS (
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    s AS (
+        SELECT event_id, user_id, ts_us,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us,
+                    event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_seq
+        FROM b
+    )
+"""
+
+QUERIES.update({"sessionize": q_sessionize, "session_stats": q_session_stats})
+ORACLE_SQL.update(
+    {
+        "sessionize": _SESSION_SQL_BASE
+        + "SELECT event_id, user_id, session_seq FROM s",
+        "session_stats": _SESSION_SQL_BASE
+        + """
+            SELECT user_id, session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   max(ts_us) - min(ts_us) AS duration_us,
+                   min(ts_us) AS start_us
+            FROM s GROUP BY user_id, session_seq
+        """,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics + term search
+# ---------------------------------------------------------------------------
+
+
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary table (functions/text.token_doc_stats): df and
+    tf per distinct whitespace token — the document-frequency stats
+    behind stopword pruning / idf / tokenizer vocab selection.
+    Dictionary-encoded per-batch partials + one bucketed merge."""
+    from ..functions import text as textops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return textops.token_doc_stats(ds, num_buckets=16)
+
+
+_SEARCH_TERMS = ["dup", "key", "line", "vector"]
+
+
+def q_term_search(sf_dir: str):
+    """Bag-of-words top-20 retrieval (functions/text.term_search):
+    score = total query-term occurrences per doc, doc_id tie-break —
+    SQL row_number over a grouped count.  Terms broadcast once; global
+    top-k through the partial-top-k combiner (k rows per block)."""
+    from ..functions import text as textops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return textops.term_search(ds, _SEARCH_TERMS, k=20)
+
+
+QUERIES.update({"vocab_stats": q_vocab_stats, "term_search": q_term_search})
+ORACLE_SQL.update(
+    {
+        "vocab_stats": r"""
+            SELECT tok AS term,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY tok
+        """,
+        "term_search": r"""
+            SELECT doc_id, CAST(score AS BIGINT) AS score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM (
+                SELECT doc_id, count(*) AS score
+                FROM (SELECT doc_id,
+                             unnest(regexp_split_to_array(trim(text), '\s+'))
+                                 AS tok
+                      FROM documents)
+                WHERE tok IN ('dup', 'key', 'line', 'vector')
+                GROUP BY doc_id
+            ) QUALIFY rank <= 20
+        """,
+    }
+)
