@@ -908,6 +908,8 @@ def run_new_ops():
             "interval_join", "top_docs", "mode_per_group", "group_quantiles",
             "bloom_semijoin", "bloom_antijoin", "nearest_anchor",
             "ann_quantized", "quantile_sketch",
+            "line_dedup", "sessionize", "session_stats", "vocab_stats",
+            "term_search",
         ]
 
         def consume(res):

@@ -93,13 +93,6 @@ def _doc_distinct_seg_hashes(
     starts, stops, doc_of_seg = split_segments(data, off, delim)
     keep = stops > starts  # empty segments never count
     starts, stops, doc_of_seg = starts[keep], stops[keep], doc_of_seg[keep]
-    seg_off = np.concatenate(
-        [starts.reshape(-1, 1), stops.reshape(-1, 1)], axis=1
-    )
-    # fnv1a_segments wants an offsets array; hash each [start, stop) range
-    # via the gather-free two-column form: build interleaved offsets only
-    # when segments are non-contiguous (they are contiguous minus the
-    # delimiter bytes, so a direct per-range hash is needed).
     h = _hash_ranges(data, starts, stops)
     return h, doc_of_seg, starts, stops
 
@@ -107,13 +100,10 @@ def _doc_distinct_seg_hashes(
 def _hash_ranges(
     data: np.ndarray, starts: np.ndarray, stops: np.ndarray
 ) -> np.ndarray:
-    """FNV-1a of each byte range [starts[i], stops[i]) without gathering:
-    ranges here are separated by single delimiter bytes, so offsets can't
-    be reused directly — but fnv1a_segments only needs (data, offsets) of
-    CONSECUTIVE segments.  Build a view by hashing with explicit per-range
-    starts: reuse fnv1a_segments on a gathered copy only for ranges (one
-    memcpy of the text minus delimiters — unavoidable for hashing
-    non-contiguous spans, still O(total_bytes))."""
+    """FNV-1a of each byte range [starts[i], stops[i]).  fnv1a_segments
+    needs contiguous (data, offsets), and the ranges here are separated
+    by delimiter bytes, so gather first — one memcpy of the text minus
+    delimiters, still O(total_bytes)."""
     from ._strkern import gather_segments
 
     gdata, goff = gather_segments(data, starts, stops)
@@ -130,9 +120,13 @@ def segment_doc_counts(
         h, doc_of_seg, _, _ = _doc_distinct_seg_hashes(batch, text_col, delim)
         # distinct (doc, hash): a doc appears in exactly one batch, so
         # summing these batch partials yields global distinct-doc counts
-        pair = np.stack([doc_of_seg.astype(np.uint64), h], axis=1)
-        uniq = np.unique(pair, axis=0)
-        uh, cnt = np.unique(uniq[:, 1], return_counts=True)
+        # (lexsort + adjacent-dedup — np.unique(axis=0) would void-view
+        # sort, ~10x slower on wide uint64 pairs)
+        order = np.lexsort((h, doc_of_seg))
+        hs, ds_ = h[order], doc_of_seg[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        uh, cnt = np.unique(hs[first], return_counts=True)
         return pa.table(
             {
                 "segment_hash": pa.array(uh, type=pa.uint64()),

@@ -291,3 +291,74 @@ def hll_count_distinct(ds, col: str = "cell") -> float:
     if not merged:  # empty dataset -> zero distinct values
         return 0.0
     return float(merged[0]["est"])
+
+
+def exact_group_distinct(ds, key_col: str, val_col: str,
+                         num_buckets: int = 64):
+    """Exact per-group distinct count — SQL's ``count(DISTINCT val)
+    GROUP BY key`` (per-source unique users, per-cell unique documents);
+    the grouped exact twin of :func:`hll_count_distinct`.
+
+    Plan: (1) per-block dedupe of (key, val) pairs, bucketed by a PAIR
+    hash so every copy of one pair lands in one task; (2) per-bucket
+    global dedupe + partial per-key counts (np.unique kernels — the
+    high-cardinality groupby rule); (3) per-key sum of the partials,
+    bucketed by KEY hash.  Both exchanges ship pre-deduplicated /
+    pre-aggregated rows: stage-2 volume is bounded by the distinct-pair
+    count, stage-3 by (distinct keys x num_buckets).  Returns
+    (key_col, n_distinct int64).
+    """
+    import ray  # noqa: F401  (Dataset ops only; no driver collection)
+
+    from ._util import bucket_pair
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        ks, vs = ks[first], vs[first]
+        return pa.table(
+            {
+                "k": pa.array(ks),
+                "v": pa.array(vs),
+                "bucket": pa.array(bucket_pair(ks, vs, num_buckets)),
+            }
+        )
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
+        uk, cnt = np.unique(ks[first], return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uk),
+                "n": pa.array(cnt.astype(np.int64)),
+                "kbucket": pa.array(
+                    bucket_pair(uk, np.zeros_like(uk), num_buckets)
+                ),
+            }
+        )
+
+    def key_sum(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, n)
+        return pa.table({key_col: pa.array(uk), "n_distinct": pa.array(sums)})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    partials = pairs.groupby("bucket").map_groups(
+        bucket_count, batch_format="pyarrow"
+    )
+    return partials.groupby("kbucket").map_groups(
+        key_sum, batch_format="pyarrow"
+    )

@@ -3483,3 +3483,97 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# exact per-group distinct counts
+# ---------------------------------------------------------------------------
+
+
+def q_group_distinct(sf_dir: str):
+    """Exact count(DISTINCT part) per supplier
+    (functions/sampling.exact_group_distinct — the grouped exact twin of
+    the HLL sketch): per-block pair dedupe, pair-bucketed global dedupe
+    with per-key partials, key-bucketed sum — both exchanges ship
+    pre-deduplicated rows, never raw occurrences."""
+    from ..functions import sampling
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    return sampling.exact_group_distinct(
+        ds, key_col="l_suppkey", val_col="l_partkey", num_buckets=16
+    )
+
+
+QUERIES.update({"group_distinct": q_group_distinct})
+ORACLE_SQL.update(
+    {
+        "group_distinct": """
+            SELECT l_suppkey,
+                   CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+            FROM lineitem GROUP BY l_suppkey
+        """,
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set leakage flagging (functions/decontam.flag_contaminated):
+    docs sharing any word 3-gram with the 'benchmark' subset
+    (doc_id % 97 == 0) are flagged; n_hits counts the overlapping gram
+    instances.  Benchmark gram hashes tree-reduce once and broadcast;
+    the corpus side is a single probe map with NO exchange."""
+    from ..functions import decontam
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def bench_rows(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(did % 97 == 0))
+
+    bench = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(bench_rows, batch_format="pyarrow", zero_copy_batch=True)
+    out = decontam.flag_contaminated(docs, bench, n=3)
+    return out.drop_columns(["text"])
+
+
+QUERIES.update({"decontaminate": q_decontaminate})
+ORACLE_SQL.update(
+    {
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(arr) AS tok,
+                       generate_subscripts(arr, 1) AS i
+                FROM (SELECT doc_id,
+                             regexp_split_to_array(trim(text), '\s+') AS arr
+                      FROM documents)
+            ),
+            tk AS (SELECT * FROM toks WHERE tok <> ''),
+            g AS (
+                SELECT a.doc_id,
+                       a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+                FROM tk a
+                JOIN tk b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN tk c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT d.doc_id AS doc_id,
+                   CAST(coalesce(sum(CASE WHEN g.gram IN
+                       (SELECT gram FROM bench) THEN 1 ELSE 0 END), 0)
+                       AS BIGINT) AS n_hits,
+                   coalesce(sum(CASE WHEN g.gram IN (SELECT gram FROM bench)
+                       THEN 1 ELSE 0 END), 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+            GROUP BY d.doc_id
+        """,
+    }
+)

@@ -172,3 +172,69 @@ def test_token_doc_stats_and_term_search(ray_session):
         (3, 2, 2),
         (2, 1, 3),
     ]
+
+
+def test_exact_group_distinct(ray_session):
+    import ray
+
+    from h3ray.functions.sampling import exact_group_distinct
+
+    rng = np.random.default_rng(11)
+    k = rng.integers(0, 20, 3000).astype(np.int64)
+    v = rng.integers(0, 50, 3000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"g": k, "x": v}))
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in exact_group_distinct(
+            ds, key_col="g", val_col="x", num_buckets=4
+        ).take_all()
+    }
+    want = {
+        int(g): len(np.unique(v[k == g])) for g in np.unique(k)
+    }
+    assert got == want
+
+
+def test_flag_contaminated(ray_session):
+    import ray
+
+    from h3ray.functions.decontam import flag_contaminated
+
+    docs = [
+        "the quick brown fox jumps",   # bench
+        "lazy dog sleeps",             # bench
+        "a quick brown fox runs",      # shares 'quick brown fox'
+        "quick brown cat jumps",       # no full 3-gram shared
+        "lazy dog sleeps all day",     # shares 'lazy dog sleeps'
+        "",                            # empty
+        "one two",                     # < 3 tokens
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1], "text": docs[:2]})
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in flag_contaminated(ds, bench, n=3).take_all()
+    }
+    assert got == {
+        0: (3, True),   # self-overlap: all 3 of its grams
+        1: (1, True),
+        2: (1, True),
+        3: (0, False),
+        4: (1, True),
+        5: (0, False),
+        6: (0, False),
+    }
+
+
+def test_benchmark_gram_guard(ray_session):
+    import ray
+
+    from h3ray.functions.decontam import flag_contaminated
+
+    ds = ray.data.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d"]}))
+    with pytest.raises(ValueError, match="max_grams"):
+        flag_contaminated(ds, ds, n=3, max_grams=1).take_all()
