@@ -909,7 +909,7 @@ def run_new_ops():
             "bloom_semijoin", "bloom_antijoin", "nearest_anchor",
             "ann_quantized", "quantile_sketch",
             "line_dedup", "sessionize", "session_stats", "vocab_stats",
-            "term_search",
+            "term_search", "decontaminate", "group_distinct",
         ]
 
         def consume(res):

@@ -39,3 +39,15 @@ def require_fresh_dir(path: str, why: str) -> None:
             f"directory {path!r} exists and is non-empty; pass a fresh "
             f"directory ({why})"
         )
+
+
+def distinct_pairs(a: np.ndarray, b: np.ndarray):
+    """One representative of every distinct (a[i], b[i]) pair, returned
+    as (a_unique_pairs, b_unique_pairs) sorted by (a, b) — lexsort +
+    adjacent-compare (np.unique(axis=0) would void-view sort, ~10x
+    slower on wide integer pairs)."""
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.ones(len(a_s), dtype=bool)
+    first[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+    return a_s[first], b_s[first]

@@ -50,7 +50,7 @@ import pyarrow as pa
 import ray
 
 from ._strkern import fnv1a_segments, utf8_view
-from ._util import bucket_single
+from ._util import bucket_single, distinct_pairs
 
 
 def split_segments(
@@ -62,6 +62,12 @@ def split_segments(
     """
     if len(delim) != 1:
         raise ValueError("delim must be a single byte")
+    if delim[0] >= 0x80:
+        raise ValueError(
+            "delim must be an ASCII byte (< 0x80): bytes >= 0x80 are UTF-8 "
+            "continuation bytes, so splitting on one would cut inside a "
+            "codepoint and emit invalid UTF-8 in the rewritten text"
+        )
     n = len(off) - 1
     dpos = np.nonzero(data[: int(off[-1])] == delim[0])[0]
     doc_of_d = np.searchsorted(off, dpos, side="right") - 1
@@ -120,13 +126,8 @@ def segment_doc_counts(
         h, doc_of_seg, _, _ = _doc_distinct_seg_hashes(batch, text_col, delim)
         # distinct (doc, hash): a doc appears in exactly one batch, so
         # summing these batch partials yields global distinct-doc counts
-        # (lexsort + adjacent-dedup — np.unique(axis=0) would void-view
-        # sort, ~10x slower on wide uint64 pairs)
-        order = np.lexsort((h, doc_of_seg))
-        hs, ds_ = h[order], doc_of_seg[order]
-        first = np.ones(len(hs), dtype=bool)
-        first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
-        uh, cnt = np.unique(hs[first], return_counts=True)
+        _, hs = distinct_pairs(doc_of_seg, h)
+        uh, cnt = np.unique(hs, return_counts=True)
         return pa.table(
             {
                 "segment_hash": pa.array(uh, type=pa.uint64()),

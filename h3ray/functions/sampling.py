@@ -310,16 +310,12 @@ def exact_group_distinct(ds, key_col: str, val_col: str,
     """
     import ray  # noqa: F401  (Dataset ops only; no driver collection)
 
-    from ._util import bucket_pair
+    from ._util import bucket_pair, distinct_pairs
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((v, k))
-        ks, vs = k[order], v[order]
-        first = np.ones(len(ks), dtype=bool)
-        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
-        ks, vs = ks[first], vs[first]
+        ks, vs = distinct_pairs(k, v)
         return pa.table(
             {
                 "k": pa.array(ks),
@@ -331,11 +327,8 @@ def exact_group_distinct(ds, key_col: str, val_col: str,
     def bucket_count(group: pa.Table) -> pa.Table:
         k = group.column("k").to_numpy(zero_copy_only=False)
         v = group.column("v").to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, k))
-        ks, vs = k[order], v[order]
-        first = np.ones(len(ks), dtype=bool)
-        first[1:] = (ks[1:] != ks[:-1]) | (vs[1:] != vs[:-1])
-        uk, cnt = np.unique(ks[first], return_counts=True)
+        ks, _ = distinct_pairs(k, v)
+        uk, cnt = np.unique(ks, return_counts=True)
         return pa.table(
             {
                 "k": pa.array(uk),

@@ -265,16 +265,17 @@ def document_fingerprint(batch: pa.Table, text_col: str = "text", window: int = 
 def _batch_term_partials(batch: pa.Table, text_col: str, doc_col: str):
     """(terms pa.Array, df_partial, tf_partial) for one batch of docs:
     whitespace tokens dictionary-encoded once, tf via bincount, df via
-    distinct (doc, term) pairs.  Docs live in exactly one row/batch, so
-    summing these partials over batches is exact."""
+    distinct (``doc_col`` value, term) pairs — duplicate doc ids within
+    a batch count once.  A doc id must not span batches (each doc is one
+    row, and one row lives in one batch), so summing these partials over
+    batches yields exact global df/tf."""
     toks = split_tokens(batch.column(text_col))
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     off = list_offsets(toks)
     flat = toks.values
-    doc_of_tok = np.repeat(
-        np.arange(batch.num_rows, dtype=np.int64), np.diff(off)
-    )
+    did = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of_tok = np.repeat(did, np.diff(off))
     enc = pc.dictionary_encode(flat)
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
@@ -286,8 +287,9 @@ def _batch_term_partials(batch: pa.Table, text_col: str, doc_col: str):
     idx, doc_of_tok = idx[ok], doc_of_tok[ok]
     nv = len(vocab)
     tf = np.bincount(idx, minlength=nv).astype(np.int64)
-    pair = doc_of_tok * np.int64(nv) + idx
-    uterm = np.unique(pair) % np.int64(nv)
+    from ._util import distinct_pairs
+
+    _, uterm = distinct_pairs(doc_of_tok, idx)
     df = np.bincount(uterm, minlength=nv).astype(np.int64)
     used = tf > 0
     return vocab.take(pa.array(np.nonzero(used)[0])), df[used], tf[used]

@@ -238,3 +238,24 @@ def test_benchmark_gram_guard(ray_session):
     ds = ray.data.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d"]}))
     with pytest.raises(ValueError, match="max_grams"):
         flag_contaminated(ds, ds, n=3, max_grams=1).take_all()
+
+
+def test_split_segments_rejects_non_ascii_delim():
+    with pytest.raises(ValueError, match="ASCII"):
+        _segs(["a"], b"\xa7")
+
+
+def test_token_doc_stats_duplicate_doc_ids(ray_session):
+    import ray
+
+    from h3ray.functions.text import token_doc_stats
+
+    # the same doc id on two rows of one batch: df counts it ONCE
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [7, 7, 8], "text": ["a b", "a c", "a"]})
+    )
+    st = {
+        r["term"]: (r["df"], r["tf"])
+        for r in token_doc_stats(ds, num_buckets=2).take_all()
+    }
+    assert st == {"a": (2, 3), "b": (1, 1), "c": (1, 1)}
