@@ -193,6 +193,146 @@ def bucket_pairs(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
+# --- bucketed LSH candidate machinery ----------------------------------------
+#
+# The per-(band, band_hash) `map_groups` path above invokes one Python
+# kernel per LSH bucket — at corpus scale that is billions of tiny groups
+# through Ray's per-group combine (the repo's own corner-keyed measurement,
+# BASELINE §7: 48 s vs 9.6 s at 4.5M keys, quantifies the pattern at ~5x).
+# The functions below shuffle on `hash(band, band_hash) % num_buckets`
+# instead and run ONE vectorized lexsort/run pass over ALL the LSH groups
+# that land in a hash bucket, so per-task group count is bounded by
+# `num_buckets` regardless of key cardinality.  Outputs are byte-identical
+# to the per-group path (pytest parity on planted dups).
+
+
+def _multi_key_runs(key_cols: list[np.ndarray], tiebreak: np.ndarray):
+    """Sort rows by (key_cols..., tiebreak) and mark composite-key runs.
+
+    Returns (order, first_idx, rank): `order` is the sort permutation,
+    `first_idx[i]` the sorted index of row i's run start, `rank[i]` its
+    offset within the run.  Run boundaries compare the ACTUAL key columns
+    (no hashed composite — hash collisions can never merge two runs)."""
+    n = len(tiebreak)
+    order = np.lexsort((tiebreak, *reversed(key_cols)))
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return order, z, z
+    diff = np.zeros(n, dtype=bool)
+    for c in key_cols:
+        cs = c[order]
+        diff[1:] |= cs[1:] != cs[:-1]
+    diff[0] = True
+    first_idx = np.maximum.accumulate(np.where(diff, np.arange(n), 0))
+    rank = np.arange(n) - first_idx
+    return order, first_idx, rank
+
+
+def with_band_bucket(batch: pa.Table, num_buckets: int = 64) -> pa.Table:
+    """Append `bucket = hash(band, band_hash) % num_buckets` — the shuffle
+    key of the bucketed LSH candidate stage."""
+    from ._util import bucket_pair
+
+    band = batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "bucket", pa.array(bucket_pair(band, bh.view(np.int64), num_buckets))
+    )
+
+
+_EMPTY_PAIRS = pa.table({"a": pa.array([], type=pa.int64()),
+                         "b": pa.array([], type=pa.int64())})
+
+
+def exact_pairs_bucketed(batch: pa.Table, doc_col: str = "doc_id",
+                         key_cols: tuple = ("band", "band_hash", "text_hash")
+                         ) -> pa.Table:
+    """Within one HASH BUCKET of band rows: emit every doc pair whose full
+    composite key (LSH group + verify key) is equal — all the bucket's LSH
+    groups in one lexsort/run pass.  Equals mapping `exact_pairs_in_group`
+    over each (band, band_hash) group separately."""
+    docs = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(docs) < 2:
+        return _EMPTY_PAIRS
+    keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+    order, first_idx, rank = _multi_key_runs(keys, docs)
+    total = int(rank.sum())
+    if total == 0:
+        return _EMPTY_PAIRS
+    d = docs[order]
+    b = np.repeat(d, rank)
+    within = np.arange(total) - np.repeat(np.cumsum(rank) - rank, rank)
+    a = d[np.repeat(first_idx, rank) + within]
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def exact_mates_bucketed(batch: pa.Table, doc_col: str = "doc_id",
+                         key_cols: tuple = ("band", "band_hash", "text_hash")
+                         ) -> pa.Table:
+    """Within one hash bucket: per (band-)row, the count of OTHER rows
+    sharing its full composite key — the bucketed twin of
+    `exact_mates_in_group`."""
+    docs = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(docs) == 0:
+        return pa.table({doc_col: pa.array([], type=pa.int64()),
+                         "n_mates": pa.array([], type=pa.int64())})
+    keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+    order, first_idx, rank = _multi_key_runs(keys, docs)
+    d = docs[order]
+    gsize = np.bincount(first_idx, minlength=len(d))[first_idx]
+    return pa.table(
+        {doc_col: pa.array(d), "n_mates": pa.array((gsize - 1).astype(np.int64))}
+    )
+
+
+def star_pairs_bucketed(batch: pa.Table, doc_col: str = "doc_id",
+                        key_cols: tuple = ("band", "band_hash")) -> pa.Table:
+    """Within one hash bucket: pair every doc with its LSH group's minimum
+    doc id (union-find-lite star edges) — the bucketed twin of
+    `bucket_pairs`, all the bucket's groups in one pass."""
+    docs = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(docs) < 2:
+        return _EMPTY_PAIRS
+    keys = [batch.column(c).to_numpy(zero_copy_only=False) for c in key_cols]
+    order, first_idx, rank = _multi_key_runs(keys, docs)
+    d = docs[order]
+    sel = rank > 0
+    if not sel.any():
+        return _EMPTY_PAIRS
+    return pa.table({"a": pa.array(d[first_idx[sel]]), "b": pa.array(d[sel])})
+
+
+def distinct_pairs_ds(pairs_ds, num_buckets: int = 64):
+    """Globally distinct (a, b) pairs via a bucketed exchange: shuffle on
+    `hash(a, b) % num_buckets`, ONE vectorized lexsort-unique per bucket —
+    replaces `groupby(["a", "b"]).count()`, which re-shuffles every
+    candidate pair as a distinct group key (per-pair combine at scale)."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        from ._util import bucket_pair
+
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(bucket_pair(a, b, num_buckets)),
+             "a": pa.array(a), "b": pa.array(b)}
+        )
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        from ._util import distinct_pairs
+
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        au, bu = distinct_pairs(a, b)
+        return pa.table({"a": pa.array(au), "b": pa.array(bu)})
+
+    return (
+        pairs_ds.map_batches(key, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+
+
 def jaccard(text_a: str, text_b: str, shingle: int = 5) -> float:
     sa = _hash_shingles(text_a, shingle)
     sb = _hash_shingles(text_b, shingle)
@@ -400,42 +540,48 @@ def verify_pairs(pairs_ds, docs_ds, text_col: str = "text",
 
 
 def minhash_dedup_pipeline(ds, text_col="text", doc_col="doc_id", bands=16,
-                           k=64, shingle=5):
-    """Candidate tier of the near-dup pipeline: signatures -> band buckets
-    -> groupby -> candidate pairs.  Returns a Dataset of (a, b) pairs;
-    exact Jaccard verification (with its own threshold) happens in
-    ``verify_pairs`` — use ``minhash_dedup_verified`` for the composed
-    pipeline.  ``shingle`` is the n-gram size used for the signatures."""
+                           k=64, shingle=5, num_buckets=64):
+    """Candidate tier of the near-dup pipeline: signatures -> band rows ->
+    ONE bucketed exchange (`hash(band, band_hash) % num_buckets`) -> star
+    candidate pairs, one vectorized run-pass per hash bucket (per-task
+    group count bounded by ``num_buckets``, not LSH-key cardinality).
+    Returns a Dataset of (a, b) pairs; exact Jaccard verification (with
+    its own threshold) happens in ``verify_pairs`` — use
+    ``minhash_dedup_verified`` for the composed pipeline.  ``shingle`` is
+    the n-gram size used for the signatures."""
     sigs = ds.map_batches(
         lambda b: minhash_signatures(b, text_col, k, shingle),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     buckets = sigs.map_batches(
-        lambda b: minhash_bands(b, bands, doc_col),
+        lambda b: with_band_bucket(minhash_bands(b, bands, doc_col),
+                                   num_buckets),
         batch_format="pyarrow",
     )
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        lambda b: bucket_pairs(b, doc_col), batch_format="pyarrow"
+    pairs = buckets.groupby("bucket").map_groups(
+        lambda b: star_pairs_bucketed(b, doc_col), batch_format="pyarrow"
     )
     return pairs
 
 
 def minhash_dedup_verified(ds, text_col="text", doc_col="doc_id", bands=16,
-                           k=64, threshold=0.7, shingle=5):
+                           k=64, threshold=0.7, shingle=5, num_buckets=64):
     """End-to-end near-dup pipeline: MinHash-LSH candidates -> distinct ->
     EXACT n-gram Jaccard verification >= threshold.
 
     The candidate tier (``minhash_dedup_pipeline``) has recall < 1 for
     borderline pairs but near-1 precision after this verify tier: a pair
     survives only if its true shingle-set Jaccard clears ``threshold``.
-    The distinct step is one (a, b) groupby — a pair found in several
-    band buckets must verify (and ship its texts) once, not once per
-    bucket.  ``ds`` is consumed twice (signatures + text attach); pass a
-    checkpointed/parquet-backed dataset when upstream is expensive.
-    Returns (a, b, inter, union_size, jaccard)."""
-    cand = minhash_dedup_pipeline(ds, text_col, doc_col, bands, k, shingle)
-    distinct = cand.groupby(["a", "b"]).count().drop_columns(["count()"])
+    The distinct step is a bucketed lexsort-unique (``distinct_pairs_ds``)
+    — a pair found in several band buckets must verify (and ship its
+    texts) once, not once per bucket.  ``ds`` is consumed twice
+    (signatures + text attach); pass a checkpointed/parquet-backed dataset
+    when upstream is expensive.  Returns (a, b, inter, union_size,
+    jaccard)."""
+    cand = minhash_dedup_pipeline(ds, text_col, doc_col, bands, k, shingle,
+                                  num_buckets)
+    distinct = distinct_pairs_ds(cand, num_buckets)
     return verify_pairs(distinct, ds, text_col=text_col, doc_col=doc_col,
                         threshold=threshold, shingle=shingle)
 
@@ -734,25 +880,53 @@ def cosine_pairs_in_bucket(batch: pa.Table, emb_col: str = "embedding",
     return pa.table({"a": pa.array(a), "b": pa.array(b), "cosine": pa.array(sim[iu, ju][hit])})
 
 
+def _segment_min_broadcast(key_cols: list[np.ndarray],
+                           labels: np.ndarray) -> np.ndarray:
+    """Per composite-key segment minimum of ``labels``, broadcast back to
+    every row (original order): one lexsort + `np.minimum.reduceat` — the
+    vectorized kernel of a bucketed min-scatter."""
+    n = len(labels)
+    if n == 0:
+        return labels
+    order = np.lexsort(tuple(reversed(key_cols)))
+    diff = np.zeros(n, dtype=bool)
+    for c in key_cols:
+        cs = c[order]
+        diff[1:] |= cs[1:] != cs[:-1]
+    diff[0] = True
+    starts = np.nonzero(diff)[0]
+    mins = np.minimum.reduceat(labels[order], starts)
+    run_id = np.cumsum(diff) - 1
+    out = np.empty_like(labels)
+    out[order] = mins[run_id]
+    return out
+
+
 def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
                          b_col: str = "b", node_col: str = "node",
                          max_iters: int = 16,
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         num_buckets: int = 64):
     """Distributed connected components over a duplicate-pair graph — the
     clustering step after LSH pair generation in a production dedup
     pipeline (pick one survivor per component, drop the rest).
 
     Join-free "hash-to-min" iteration: state rows (ea, eb, node, label)
-    carry every edge endpoint's current label; each round is two groupby
+    carry every edge endpoint's current label; each round is two BUCKETED
     scatters — per-NODE min (labels meet across a node's edges) then
     per-EDGE min (labels flow across each edge) — so the component minimum
     propagates at least one hop per round and the loop ends in at most
     graph-diameter rounds (LSH dedup graphs are near-cliques/stars:
-    2-3 rounds).  Labels only ever decrease, so the label sum is strictly
-    monotone and equal sums mean convergence — one cheap aggregate per
-    round, no Dataset.join (whose aggregator spin-up dominates at small
-    scale).  ``nodes_ds`` (one ``node_col`` column) adds isolated nodes as
-    self-edges so they emerge as singleton clusters.
+    2-3 rounds).  Each scatter shuffles on ``hash(key) % num_buckets``
+    and runs ONE vectorized lexsort + `np.minimum.reduceat` segment-min
+    per bucket — per-task group count is bounded by ``num_buckets``, not
+    by node/edge cardinality (the per-key `map_groups` it replaces invokes
+    a Python kernel per node and per edge, 2x per round).  Labels only
+    ever decrease, so the label sum is strictly monotone and equal sums
+    mean convergence — one cheap aggregate per round, no Dataset.join
+    (whose aggregator spin-up dominates at small scale).  ``nodes_ds``
+    (one ``node_col`` column) adds isolated nodes as self-edges so they
+    emerge as singleton clusters.
 
     Without ``checkpoint_dir`` each round materializes the bounded state
     (2|E| + |V| rows) in the object store.  With ``checkpoint_dir`` set —
@@ -804,14 +978,36 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
             nodes_ds.map_batches(seed_nodes, batch_format="pyarrow")
         )
 
-    def scatter_min(batch: pa.Table) -> pa.Table:
-        lab = batch.column("label").to_numpy(zero_copy_only=False)
-        m = int(lab.min())
-        return batch.set_column(
-            batch.schema.get_field_index("label"),
-            "label",
-            pa.array(np.full(len(lab), m, dtype=np.int64)),
+    from ._util import bucket_pair, bucket_single
+
+    def key_node(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(bucket_single(node, num_buckets))
         )
+
+    def key_edge(batch: pa.Table) -> pa.Table:
+        ea = batch.column("ea").to_numpy(zero_copy_only=False)
+        eb = batch.column("eb").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket", pa.array(bucket_pair(ea, eb, num_buckets))
+        )
+
+    def min_within(key_names):
+        def k(batch: pa.Table) -> pa.Table:
+            lab = batch.column("label").to_numpy(zero_copy_only=False)
+            keys = [batch.column(c).to_numpy(zero_copy_only=False)
+                    for c in key_names]
+            lab2 = _segment_min_broadcast(keys, lab)
+            out = batch.set_column(
+                batch.schema.get_field_index("label"), "label", pa.array(lab2)
+            )
+            return out.drop_columns(["bucket"])
+
+        return k
+
+    scatter_node = min_within(["node"])
+    scatter_edge = min_within(["ea", "eb"])
 
     start_round = 0
     prev_round_dir = None
@@ -841,8 +1037,10 @@ def connected_components(pairs_ds, nodes_ds=None, a_col: str = "a",
     converged = False
     for it in range(start_round, start_round + max_iters):
         state = (
-            state.groupby("node").map_groups(scatter_min, batch_format="pyarrow")
-            .groupby(["ea", "eb"]).map_groups(scatter_min, batch_format="pyarrow")
+            state.map_batches(key_node, batch_format="pyarrow")
+            .groupby("bucket").map_groups(scatter_node, batch_format="pyarrow")
+            .map_batches(key_edge, batch_format="pyarrow")
+            .groupby("bucket").map_groups(scatter_edge, batch_format="pyarrow")
         )
         if checkpoint_dir is None:
             state = state.materialize()

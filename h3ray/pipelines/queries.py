@@ -315,11 +315,32 @@ def q_corpus_geo_cells(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
-    out = ds.groupby("text").aggregate(
-        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
+    """Exact dedup keyed on a u64 FINGERPRINT of the text, not the raw
+    text: at 100 TB a `groupby(text)` ships full document bytes as the
+    exchange/sort key; hashing first moves 8 bytes per doc through the
+    shuffle instead.  Distinct texts colliding on FNV-64 is ~n^2/2^65 —
+    negligible at any corpus size this engine targets (and the SQL twin
+    still groups by text, so a collision would surface as a hash
+    mismatch, never silently)."""
+    from ..functions.text import hash_u64_batch
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fp": pa.array(
+                    hash_u64_batch(batch.column("text")).astype(np.int64)
+                ),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count())
     )
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -536,7 +557,13 @@ def q_minhash_pairs(sf_dir: str):
     the SQL self-join on text over the same planted corpus.  This is the
     LSH candidate->verify pipeline with the verify tier set to exact; the
     near-dup (Jaccard-threshold) tier is exercised in pytest
-    (test_minhash_finds_planted_dups)."""
+    (test_minhash_finds_planted_dups).
+
+    Both exchanges are BUCKETED (hash(band, band_hash) % 64 for the
+    candidate stage, hash(a, b) % 64 for the distinct stage): one
+    vectorized lexsort/run kernel per hash bucket instead of one Python
+    kernel per LSH group / per pair — per-group parity is pytest-anchored
+    (test_bucketed_lsh_parity)."""
     from ..functions import dedup as dedup_fns
     from ..functions.text import hash_u64_batch
 
@@ -547,17 +574,18 @@ def q_minhash_pairs(sf_dir: str):
             "text_hash",
             pa.array(hash_u64_batch(batch.column("text")).astype(np.int64)),
         )
-        return dedup_fns.minhash_bands(t, 16, "doc_id", extra_cols=("text_hash",))
+        t = dedup_fns.minhash_bands(t, 16, "doc_id", extra_cols=("text_hash",))
+        return dedup_fns.with_band_bucket(t)
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     pairs = (
         ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(dedup_fns.exact_pairs_in_group, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_fns.exact_pairs_bucketed, batch_format="pyarrow")
     )
-    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+    return dedup_fns.distinct_pairs_ds(pairs)
 
 
 _JACCARD_TAIL = " planted near duplicate tail for jaccard verification"
@@ -737,7 +765,9 @@ def q_simhash_bands(sf_dir: str):
     signatures -> 4x16-bit band buckets -> per-doc count of exact-text
     bucket mates, summed over bands.  Identical texts have identical
     simhash, hence co-bucket in all 4 bands: every doc's total equals
-    4 * (its text-group size - 1) — the SQL window twin."""
+    4 * (its text-group size - 1) — the SQL window twin.  The candidate
+    exchange is BUCKETED on hash(band, band_hash) % 64 — one vectorized
+    run kernel per hash bucket, not one per LSH group."""
     from ..functions import dedup as dedup_fns
     from ..functions.text import hash_u64_batch
 
@@ -748,15 +778,16 @@ def q_simhash_bands(sf_dir: str):
             "text_hash",
             pa.array(hash_u64_batch(batch.column("text")).astype(np.int64)),
         )
-        return dedup_fns.simhash_bands(t, extra_cols=("text_hash",))
+        t = dedup_fns.simhash_bands(t, extra_cols=("text_hash",))
+        return dedup_fns.with_band_bucket(t)
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     mates = (
         ds.map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_hash"])
-        .map_groups(dedup_fns.exact_mates_in_group, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dedup_fns.exact_mates_bucketed, batch_format="pyarrow")
     )
     out = mates.groupby("doc_id").sum("n_mates")
 
@@ -1587,9 +1618,14 @@ def q_minhash_dup_rank(sf_dir: str):
     exact-verified by full-text hash inside each group; emits every doc's
     rank and group size within its exact-text group — the SQL twin is a
     window function over GROUP BY text.  Near-dup signature collisions are
-    filtered by the text-hash verify, mirroring the LSH verify stage."""
+    filtered by the text-hash verify, mirroring the LSH verify stage.
+
+    The exchange is BUCKETED on hash(sig) % 64: one vectorized
+    (sig, text_hash)-run kernel per hash bucket instead of one Python
+    kernel per signature group (signature cardinality ~ corpus size)."""
     from ..functions import dedup as dedup_fns
     from ..functions._strkern import FNV_OFFSET, FNV_PRIME
+    from ..functions._util import bucket_single
 
     from ..functions.text import hash_u64_batch
 
@@ -1602,9 +1638,11 @@ def q_minhash_dup_rank(sf_dir: str):
             h = np.full(len(t), FNV_OFFSET, dtype=np.uint64)
             for c in range(64):
                 h = (h ^ k64[:, c]) * FNV_PRIME
+        sig = h.astype(np.int64)
         return pa.table(
             {
-                "sig": pa.array(h.astype(np.int64)),
+                "bucket": pa.array(bucket_single(sig, 64)),
+                "sig": pa.array(sig),
                 "doc_id": t.column("doc_id"),
                 # exact-verify key: near-dups can collide on all 64
                 # minhashes, so pairs are confirmed by full-text hash
@@ -1616,12 +1654,10 @@ def q_minhash_dup_rank(sf_dir: str):
 
     def ranks(batch: pa.Table) -> pa.Table:
         docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sig = batch.column("sig").to_numpy(zero_copy_only=False)
         th = batch.column("text_hash").to_numpy(zero_copy_only=False)
-        order = np.lexsort((docs, th))
-        docs, th = docs[order], th[order]
-        first = np.concatenate([[True], th[1:] != th[:-1]])
-        first_idx = np.maximum.accumulate(np.where(first, np.arange(len(docs)), 0))
-        rank = np.arange(len(docs)) - first_idx
+        order, first_idx, rank = dedup_fns._multi_key_runs([sig, th], docs)
+        docs = docs[order]
         gsize = np.bincount(first_idx, minlength=len(docs))[first_idx]
         return pa.table(
             {
@@ -1636,7 +1672,7 @@ def q_minhash_dup_rank(sf_dir: str):
     )
     return (
         ds.map_batches(sig_hash, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("sig")
+        .groupby("bucket")
         .map_groups(ranks, batch_format="pyarrow")
     )
 
@@ -2225,51 +2261,75 @@ ORACLE_SQL.update(
 
 def q_dissolve(sf_dir: str):
     """Value-oracled distributed link_cells dissolve: every distinct
-    constructed cell's 7 res-6 children shuffle by parent and dissolve per
-    group (boundary-segment cancellation + stitch + ring grouping — the
-    full dissolve kernel per group).  The aperture-7 child flower of ANY
-    hexagon dissolves to exactly 1 shell of 18 edges (19 closed-ring
-    vertices): 7x6 directed edges minus 2x12 interior cancellations — an
-    H3 invariant SQL reproduces as constants alongside the _CELL_SQL
-    parent values.  The shells-with-holes rect dissolve stays pytest-
-    anchored (test_distributed_dissolve_equals_local + annulus)."""
+    constructed cell's 7 res-6 children shuffle by ``hash(parent) % 64``
+    and ALL parents of a hash bucket dissolve in ONE kernel — boundary
+    segments for the whole bucket in one vectorized pass with per-parent
+    cancellation (`_boundary_segments_tagged`), then a segmented ring
+    stitch per parent run (one Ray group per BUCKET, not per parent:
+    parent cardinality grows with data; bucket count does not).  The
+    aperture-7 child flower of ANY hexagon dissolves to exactly 1 shell
+    of 18 edges (19 closed-ring vertices): 7x6 directed edges minus 2x12
+    interior cancellations — an H3 invariant SQL reproduces as constants
+    alongside the _CELL_SQL parent values.  The shells-with-holes rect
+    dissolve stays pytest-anchored
+    (test_distributed_dissolve_equals_local + annulus); bucketed-vs-
+    per-parent parity is pytest-anchored (test_bucketed_dissolve_parity)."""
     from .. import vector as vector_mod
+    from ..functions._util import bucket_single
     from ..h3core import hierarchy
 
     def expand(batch: pa.Table) -> pa.Table:
         eid = batch.column("event_id").to_numpy(zero_copy_only=False)
         cells = np.unique(_construct_cells(eid))
         ch, rows = hierarchy._expand_children(cells, 6)
+        parent = cells[rows].astype(np.int64)
         return pa.table(
             {
-                "parent": pa.array(cells[rows].astype(np.int64)),
+                "bucket": pa.array(bucket_single(parent, 64)),
+                "parent": pa.array(parent),
                 "cell": pa.array(ch),
             }
         )
 
-    def dissolve_group(batch: pa.Table) -> pa.Table:
-        parent = int(batch.column("parent")[0].as_py())
-        cells = np.unique(
-            batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        a, b = vector_mod._boundary_segments(cells)
-        rings = vector_mod._stitch_rings(list(zip(a.tolist(), b.tolist())))
-        polys = vector_mod.group_rings(rings)
-        n_rings = sum(len(p) for p in polys)
-        n_verts = sum(len(r) for p in polys for r in p)
+    def dissolve_bucket(batch: pa.Table) -> pa.Table:
+        parents = batch.column("parent").to_numpy(zero_copy_only=False)
+        cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        # distinct (parent, cell) rows, sorted by parent
+        order = np.lexsort((cells, parents))
+        p, c = parents[order], cells[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (c[1:] != c[:-1])
+        p, c = p[keep], c[keep]
+        # one vectorized boundary pass over ALL the bucket's cells,
+        # cancellation restricted to within-parent
+        a, b, tag = vector_mod._boundary_segments_tagged(c, p)
+        sorder = np.argsort(tag, kind="stable")
+        a, b, tag = a[sorder], b[sorder], tag[sorder]
+        starts = np.nonzero(np.r_[True, tag[1:] != tag[:-1]])[0] \
+            if len(tag) else np.zeros(0, dtype=np.int64)
+        bounds = np.r_[starts, len(tag)]
+        out_cell, out_rings, out_verts = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rings = vector_mod._stitch_rings(
+                list(zip(a[s:e].tolist(), b[s:e].tolist()))
+            )
+            polys = vector_mod.group_rings(rings)
+            out_cell.append(int(tag[s]))
+            out_rings.append(sum(len(pl) for pl in polys))
+            out_verts.append(sum(len(r) for pl in polys for r in pl))
         return pa.table(
             {
-                "cell": pa.array([parent], type=pa.int64()),
-                "n_rings": pa.array([n_rings], type=pa.int64()),
-                "n_verts": pa.array([n_verts], type=pa.int64()),
+                "cell": pa.array(out_cell, type=pa.int64()),
+                "n_rings": pa.array(out_rings, type=pa.int64()),
+                "n_verts": pa.array(out_verts, type=pa.int64()),
             }
         )
 
     return (
         _events(sf_dir)
         .map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("parent")
-        .map_groups(dissolve_group, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(dissolve_bucket, batch_format="pyarrow")
     )
 
 
@@ -3577,3 +3637,47 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# registry ordering
+# ---------------------------------------------------------------------------
+#
+# The driver's per-round CORRECTNESS window covers the FIRST 50 entries of
+# `queries()` in insertion order.  Rounds 1-4 accumulated driver-green rows
+# for the first 50 keys above, but everything registered after `dissolve`
+# (the round-4 additions) never entered the window.  Reorder so the window
+# covers (a) the 27 operators with no driver-green row yet, (b) the 5
+# queries whose exchanges were reworked this round (bucketed LSH /
+# fingerprint dedup / bucketed CC — re-verify after the change), and
+# (c) representative keepers for the flagship / PIP / ANN / raster / localij
+# families.  Already-green redundant twins (pip_join_salted/hash/adaptive,
+# asof twin, scalar kernels) move past the window — their green rows stand
+# in CORRECTNESS_r01..r04.
+
+_WINDOW_PRIORITY = [
+    # (a) driver-unverified round-4 operators
+    "dissolve", "window_agg", "asof_join", "asof_chunked", "are_neighbor",
+    "cms_counts", "edge_construct", "icosa_faces", "cell_vertexes",
+    "window_moments", "child_pos", "interval_join", "top_docs",
+    "bloom_semijoin", "bloom_antijoin", "group_quantiles", "quantile_sketch",
+    "nearest_anchor", "ann_quantized", "mode_per_group", "line_dedup",
+    "sessionize", "session_stats", "vocab_stats", "term_search",
+    "group_distinct", "decontaminate",
+    # (b) exchanges reworked in round 5
+    "exact_dedup", "minhash_pairs", "simhash_bands", "minhash_dup_rank",
+    "dedup_clusters",
+    # (c) family keepers
+    "flagship_resumable", "pip_join", "pip_join_fine", "jaccard_verify",
+    "embedding_dup_pairs", "ann_ivf", "ivf_recall", "compact_invariant",
+    "polyfill_rects", "hull_centroid", "localij", "grid_distance_path",
+    "raster_pixel_agg", "rasterize_roundtrip", "latlng_cells",
+    "corpus_geo_cells", "children_explode", "grid_disk_aggregate_k",
+]
+
+assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
+_missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
+assert not _missing, _missing
+QUERIES = {k: QUERIES[k] for k in _WINDOW_PRIORITY} | {
+    k: v for k, v in QUERIES.items() if k not in _WINDOW_PRIORITY
+}

@@ -537,6 +537,41 @@ def _boundary_segments(cells: np.ndarray):
     return _cancel_packed(pts, pts[nxt])
 
 
+def _boundary_segments_tagged(cells: np.ndarray, tags: np.ndarray):
+    """Directed boundary segments of MANY disjoint cell sets in ONE
+    vectorized pass: ``cells[i]`` belongs to the set labelled ``tags[i]``;
+    shared-segment cancellation happens WITHIN each tag only.  Returns
+    (a, b, seg_tags) — per-tag results equal `_boundary_segments` run on
+    each tag's cells separately.  This is the segmented kernel behind the
+    bucketed dissolve (all parents of a hash bucket in one task, no
+    per-parent Python group)."""
+    lat, lng, off = boundary.cell_boundary(cells)
+    pts = _pack_endpoints(lat, lng)
+    counts = np.diff(off)
+    nxt = np.arange(len(pts)) + 1
+    cell_idx = np.repeat(np.arange(len(cells)), counts)
+    ring_end = off[1:][cell_idx] - 1
+    at_end = np.arange(len(pts)) == ring_end
+    nxt = np.where(at_end, off[:-1][cell_idx], nxt)
+    a, b = pts, pts[nxt]
+    seg_tag = tags[cell_idx]
+    # within-tag cancellation: undirected key occurs twice inside one tag
+    # for shared edges, once for boundary edges
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    order = np.lexsort((hi, lo, seg_tag))
+    t_s, lo_s, hi_s = seg_tag[order], lo[order], hi[order]
+    same_prev = np.r_[
+        False,
+        (t_s[1:] == t_s[:-1]) & (lo_s[1:] == lo_s[:-1]) & (hi_s[1:] == hi_s[:-1]),
+    ]
+    same_next = np.r_[same_prev[1:], False]
+    keep_sorted = ~(same_prev | same_next)
+    keep = np.zeros(len(a), dtype=bool)
+    keep[order] = keep_sorted
+    return a[keep], b[keep], seg_tag[keep]
+
+
 def _ring_signed_area(r: np.ndarray) -> float:
     """Planar shoelace area of a closed (first==last) lng/lat ring: positive
     for ccw (H3 boundary winding = outer shells), negative for holes."""

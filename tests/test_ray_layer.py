@@ -1250,3 +1250,135 @@ def test_quantize_matrix_bounds_and_zero_vector():
     assert q.max() <= 127 and q.min() >= -127
     assert (q[0] == [76, -102]).all()  # 127*(0.6, -0.8) rounded
     assert (q[1] == 0).all()
+
+
+# --- round-5 bucketed-exchange parity ----------------------------------------
+
+
+def _band_rows_with_planted_dups(n_docs=60, bands=16):
+    """Planted-dup corpus -> (band, band_hash, doc_id, text_hash) rows."""
+    from h3ray.functions import dedup
+    from h3ray.functions.text import hash_u64_batch
+
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    texts = docs.column("text").to_pylist()[:n_docs]
+    planted = texts + [texts[0], texts[1], texts[2] + " near tail"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(planted)), type=pa.int64()),
+            "text": pa.array(planted),
+        }
+    )
+    t = dedup.minhash_signatures(tbl)
+    t = t.append_column(
+        "text_hash", pa.array(hash_u64_batch(tbl.column("text")).astype(np.int64))
+    )
+    return dedup.minhash_bands(t, bands, "doc_id", extra_cols=("text_hash",))
+
+
+def test_bucketed_lsh_parity():
+    """The bucketed LSH candidate kernels (one vectorized run-pass per hash
+    bucket) emit byte-identical results to mapping the per-(band,
+    band_hash) kernels over each LSH group separately — pairs, star pairs
+    and mate counts."""
+    from h3ray.functions import dedup
+
+    rows = _band_rows_with_planted_dups()
+    band = rows.column("band").to_numpy(zero_copy_only=False)
+    bh = rows.column("band_hash").to_numpy(zero_copy_only=False)
+
+    # reference: per-(band, band_hash) group kernels
+    order = np.lexsort((bh, band))
+    b_s, h_s = band[order], bh[order]
+    starts = np.nonzero(np.r_[True, (b_s[1:] != b_s[:-1]) | (h_s[1:] != h_s[:-1])])[0]
+    bounds = np.r_[starts, len(order)]
+    ref_pairs, ref_stars, ref_mates = set(), set(), {}
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        g = rows.take(pa.array(order[s:e]))
+        pp = dedup.exact_pairs_in_group(g)
+        ref_pairs |= set(zip(pp.column("a").to_pylist(), pp.column("b").to_pylist()))
+        sp = dedup.bucket_pairs(g)
+        ref_stars |= set(zip(sp.column("a").to_pylist(), sp.column("b").to_pylist()))
+        mm = dedup.exact_mates_in_group(g)
+        for d, m in zip(mm.column("doc_id").to_pylist(), mm.column("n_mates").to_pylist()):
+            ref_mates[d] = ref_mates.get(d, 0) + m
+
+    # bucketed: hash(band, band_hash) % 8 buckets, one kernel per bucket
+    keyed = dedup.with_band_bucket(rows, num_buckets=8)
+    bucket = keyed.column("bucket").to_numpy(zero_copy_only=False)
+    got_pairs, got_stars, got_mates = set(), set(), {}
+    for bv in np.unique(bucket):
+        g = keyed.filter(pa.array(bucket == bv))
+        pp = dedup.exact_pairs_bucketed(g)
+        got_pairs |= set(zip(pp.column("a").to_pylist(), pp.column("b").to_pylist()))
+        sp = dedup.star_pairs_bucketed(g)
+        got_stars |= set(zip(sp.column("a").to_pylist(), sp.column("b").to_pylist()))
+        mm = dedup.exact_mates_bucketed(g)
+        for d, m in zip(mm.column("doc_id").to_pylist(), mm.column("n_mates").to_pylist()):
+            got_mates[d] = got_mates.get(d, 0) + m
+
+    assert got_pairs == ref_pairs and len(ref_pairs) > 0
+    assert got_stars == ref_stars and len(ref_stars) > 0
+    assert got_mates == ref_mates
+
+
+def test_distinct_pairs_ds(ray_session):
+    """Bucketed pair-distinct equals the naive set over duplicated pairs
+    scattered across blocks."""
+    import ray
+
+    from h3ray.functions import dedup
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 40, size=500).astype(np.int64)
+    b = (a + 1 + rng.integers(0, 5, size=500)).astype(np.int64)
+    pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out = dedup.distinct_pairs_ds(
+        ray.data.from_arrow(pairs).repartition(7), num_buckets=8
+    ).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == set(zip(a.tolist(), b.tolist()))
+    assert len(out) == len(got)  # no duplicate rows emitted
+
+
+def test_bucketed_dissolve_parity():
+    """`_boundary_segments_tagged` (per-parent cancellation in one
+    vectorized pass over many parents) equals `_boundary_segments` run on
+    each parent's cells separately."""
+    from h3ray import vector
+    from h3ray.h3core import hierarchy
+    from h3ray.pipelines.queries import _construct_cells
+
+    eid = np.arange(0, 400, 7).astype(np.int64)
+    parents = np.unique(_construct_cells(eid))[:24]
+    ch, rows = hierarchy._expand_children(parents, 6)
+    tags = parents[rows].astype(np.int64)
+
+    a, b, t = vector._boundary_segments_tagged(ch.astype(np.uint64), tags)
+    for p in parents[:8]:  # spot-check a third of the parents per run
+        mask = t == np.int64(p)
+        ra, rb = vector._boundary_segments(ch[tags == np.int64(p)].astype(np.uint64))
+        assert set(zip(a[mask].tolist(), b[mask].tolist())) == set(
+            zip(ra.tolist(), rb.tolist())
+        )
+        # the 7-child flower invariant the oracle uses: 18 surviving edges
+        assert mask.sum() == 18
+
+
+def test_connected_components_multibucket(ray_session):
+    """CC through the bucketed segment-min scatters with more buckets than
+    nodes (exercises empty/singleton buckets) still converges to per-chain
+    minima."""
+    import ray
+
+    from h3ray.functions import dedup
+
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 3, 20, 30], type=pa.int64()),
+         "b": pa.array([2, 3, 4, 21, 31], type=pa.int64())}
+    )
+    out = dedup.connected_components(
+        ray.data.from_arrow(pairs).repartition(4), num_buckets=256
+    ).to_pandas()
+    got = dict(zip(out["node"], out["cluster"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 30: 30, 31: 30}
