@@ -34,10 +34,21 @@ def _enable_push_shuffle():
     groupbys at sf0.1 (measured 8x interleaved: mode_per_group 1.9->1.3,
     pip_salted 3.2->2.5, bloom_antijoin 4.3->4.0 s) and Ray's documented
     large-shuffle path (bounds intermediate block count at scale).  Set
-    here, in the session owner, never in library code."""
+    here, in the session owner, never in library code.
+
+    Uses the current `DataContext.shuffle_strategy` API so the bench
+    keeps exercising the push-based path across Ray upgrades (the old
+    `use_push_based_shuffle` flag is deprecated and may become a silent
+    no-op); falls back to the flag on older Ray."""
     import ray
 
-    ray.data.DataContext.get_current().use_push_based_shuffle = True
+    ctx = ray.data.DataContext.get_current()
+    try:
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    except (ImportError, AttributeError):
+        ctx.use_push_based_shuffle = True
 
 def _pipelines(sf_dir: str):
     import numpy as np

@@ -306,6 +306,17 @@ def ivf_topk_partitioned(index_dir: str, query_ids, query_matrix,
         if os.path.isdir(os.path.join(index_dir, f"ivf_bucket={b}"))
     ]
     paths = [f for d in dirs for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+    if not paths:
+        # no probed bucket has any vectors (empty dataset, or centroids
+        # that attracted none): an empty top-k, not a read_parquet error
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        return merge_topk(empty, k), 0
     ds = ray.data.read_parquet(paths, columns=[id_col, emb_col])
     # per-query probe restriction: batched queries read the UNION of
     # probed buckets, but each query only scores rows of its OWN probes

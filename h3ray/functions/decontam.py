@@ -69,17 +69,28 @@ def doc_ngram_hashes(
 
 
 def benchmark_gram_set(
-    bench_ds, text_col: str = "text", n: int = 3, max_grams: int = 8_000_000
+    bench_ds, text_col: str = "text", n: int = 3, max_grams: int = 8_000_000,
+    fanin: int = 16
 ) -> np.ndarray:
-    """Sorted distinct ``n``-gram hashes over the benchmark docs
-    (tree-reduced; ``max_grams`` bounds the broadcast array)."""
+    """Sorted distinct ``n``-gram hashes over the benchmark docs,
+    tree-reduced: per-block unique partials merge through a ``fanin``-way
+    repartition+unique level before the driver concat, so the driver pull
+    volume is bounded by ``fanin`` already-deduplicated tables (not one
+    partial per input block); ``max_grams`` bounds the broadcast array."""
 
     def partial(batch: pa.Table) -> pa.Table:
         gh, _ = doc_ngram_hashes(batch, text_col, n)
         return pa.table({"g": pa.array(np.unique(gh), type=pa.uint64())})
 
-    parts = bench_ds.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+    def merge_unique(batch: pa.Table) -> pa.Table:
+        g = batch.column("g").to_numpy(zero_copy_only=False)
+        return pa.table({"g": pa.array(np.unique(g), type=pa.uint64())})
+
+    parts = (
+        bench_ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .repartition(fanin)
+        .map_batches(merge_unique, batch_format="pyarrow", batch_size=None)
     )
     tables = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
     if not tables:

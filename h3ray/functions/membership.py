@@ -168,6 +168,15 @@ def bloom_semijoin(
 
     if not carry_cols:
         raise ValueError("carry_cols must name at least one probe column")
+    reserved = {"__key", "bucket", "__side"} & set(carry_cols)
+    if reserved:
+        # the exchange appends these internal columns to the carry rows;
+        # a collision would fail (or silently mis-group) inside a Ray task
+        raise ValueError(
+            f"carry_cols {sorted(reserved)} collide with bloom_semijoin's "
+            "internal exchange columns ('__key', 'bucket', '__side'); "
+            "rename them on the probe side first"
+        )
     words_ref = ray.put(bloom_from_dataset(keys_ds, key_col, nbits, nhash))
 
     def _words():

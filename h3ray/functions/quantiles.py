@@ -173,6 +173,14 @@ def quantile_sketch(ds, col: str, lo: int, hi: int, nbins: int = 4096,
     cms_from_dataset scheme: the driver pulls ``fanin`` fixed-size
     partials regardless of block count).  Returns the (nbins + 2) count
     vector: [underflow, bins..., overflow]."""
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
+    if not hi > lo:
+        # a zero/negative width would be a ZeroDivisionError (or silent
+        # nonsense bins) deep inside a Ray task — fail at the entry point
+        raise ValueError(
+            f"quantile_sketch requires hi > lo, got lo={lo!r} hi={hi!r}"
+        )
     parts = ds.map_batches(
         lambda b: histogram_partial(b, col, lo, hi, nbins),
         batch_format="pyarrow",
@@ -210,6 +218,10 @@ def sketch_quantile(
     n = int(counts.sum())
     if n == 0:
         raise ValueError("empty sketch")
+    if not hi > lo:
+        raise ValueError(
+            f"sketch_quantile requires hi > lo, got lo={lo!r} hi={hi!r}"
+        )
     nbins = len(counts) - 2
     width = (hi - lo) / nbins
     target = int(disc_rank(q, n))

@@ -79,6 +79,16 @@ def cells_dataframe_to_wkb(
     return out
 
 
+# Reference-name aliases so h3ronpy.pandas.vector call sites port
+# grep-clean (h3ronpy/python/h3ronpy/pandas/vector.py:59-109).  geopandas
+# is absent here, so the "geodataframe"/"geoseries" forms take/return
+# plain pandas objects with WKB-bytes geometry columns — semantics
+# otherwise identical to the wrappers they alias.
+geodataframe_to_cells = dataframe_to_cells
+geoseries_to_cells = series_to_cells
+cells_dataframe_to_geodataframe = cells_dataframe_to_wkb
+
+
 def raster_to_dataframe(
     in_raster: np.ndarray,
     transform,

@@ -635,16 +635,20 @@ def _stitch_rings(segs) -> list[np.ndarray]:
 
 
 def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
-    """Distributed link_cells dissolve: cells group by their res-``parent_res``
-    ancestor; each group cancels its interior shared edges in parallel; the
-    surviving directed segments (including group-border seams, which appear
-    once per side in opposite directions) cancel again in a final bounded
-    pass and stitch into merged rings.
+    """Distributed link_cells dissolve: cells key by their res-``parent_res``
+    ancestor and shuffle on ``hash(parent) % 64`` — each hash bucket cancels
+    ALL its parents' interior shared edges in one vectorized pass
+    (`_boundary_segments_tagged`; one Ray group per bucket, not per parent);
+    the surviving directed segments (including parent-border seams, which
+    appear once per side in opposite directions) cancel again in a final
+    bounded pass and stitch into merged rings.
 
     Segment cancellation is associative, so the result equals a
     single-process dissolve exactly.  Returns the merged MultiPolygon WKB.
     """
     from .h3core import bits as bits_mod
+
+    from .functions._util import bucket_single
 
     def keyed(batch: pa.Table) -> pa.Table:
         cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -652,13 +656,26 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
         res = bits_mod.get_resolution(cells).astype(np.int64)
         pr = np.minimum(res, parent_res).astype(np.uint64)
         parent = bits_mod.cell_to_parent(cells, pr)
-        return pa.table({"parent": pa.array(parent), cell_col: pa.array(cells)})
+        return pa.table(
+            {
+                "bucket": pa.array(bucket_single(parent.view(np.int64), 64)),
+                "parent": pa.array(parent),
+                cell_col: pa.array(cells),
+            }
+        )
 
     def group_segments(batch: pa.Table) -> pa.Table:
-        cells = np.unique(
-            batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        )
-        a, b = _boundary_segments(cells)
+        # ALL parents of the hash bucket in one vectorized pass: boundary
+        # segments with per-parent cancellation (one Ray group per BUCKET,
+        # not per parent — parent cardinality grows with the cell set)
+        parents = batch.column("parent").to_numpy(zero_copy_only=False)
+        cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((cells, parents))
+        p, c = parents[order], cells[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (c[1:] != c[:-1])
+        p, c = p[keep], c[keep]
+        a, b, _ = _boundary_segments_tagged(c, p.astype(np.int64))
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     def final_stitch(batch: pa.Table) -> pa.Table:
@@ -674,7 +691,7 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
     # driver-side to_arrow_refs materialization
     seg_ds = (
         ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("parent")
+        .groupby("bucket")
         .map_groups(group_segments, batch_format="pyarrow")
     )
     rows = seg_ds.repartition(1).map_batches(

@@ -117,3 +117,17 @@ def test_distinct_keys_broadcast_cap(ray_session):
         membership.distinct_keys_broadcast(ds, "k", max_keys=10)
     keys = membership.distinct_keys_broadcast(ds, "k", max_keys=2000)
     assert len(keys) == 1000 and keys[0] == 0 and keys[-1] == 999
+
+
+def test_bloom_semijoin_reserved_carry_col(ray_session):
+    """carry_cols colliding with the exchange's internal column names fail
+    loudly at the entry point."""
+    import ray
+
+    from h3ray.functions import membership
+
+    probe = ray.data.from_items([{"k": 1, "bucket": 9}])
+    keys = ray.data.from_items([{"k": 1}])
+    with pytest.raises(ValueError, match="internal exchange columns"):
+        membership.bloom_semijoin(probe, keys, probe_key_col="k",
+                                  key_col="k", carry_cols=("k", "bucket"))

@@ -105,3 +105,19 @@ def test_histogram_under_overflow():
 def test_sketch_quantile_empty_raises():
     with pytest.raises(ValueError, match="empty"):
         quantiles.sketch_quantile(np.zeros(10, np.int64), 0, 8, 0.5)
+
+
+def test_sketch_entry_point_validation(ray_session):
+    """hi <= lo and nbins <= 0 fail at the driver-side entry points with a
+    clear error, not a ZeroDivisionError inside a Ray task."""
+    import ray
+
+    from h3ray.functions import quantiles
+
+    ds = ray.data.from_items([{"v": 1.0}])
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantiles.quantile_sketch(ds, "v", lo=5, hi=5)
+    with pytest.raises(ValueError, match="nbins"):
+        quantiles.quantile_sketch(ds, "v", lo=0, hi=10, nbins=0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        quantiles.sketch_quantile(np.array([0, 1, 0]), lo=3, hi=3, q=0.5)
