@@ -902,6 +902,191 @@ def run_vertex_scale():
 
 
 
+def run_polyfill_skew():
+    """Skew-aware polyfill A/B over a heavy-tail synthetic workload
+    (SURVEY §4 skew row): n-gons whose radii follow a Pareto tail, so a
+    handful of geometries carry orders of magnitude more output cells
+    than the median.  Compares the UNIFORM plan (one map_batches,
+    fixed batch_size) against `vector.polyfill_skew_routed`'s
+    complexity-tiered routing, reporting wall time and the straggler
+    ratio max(task_ms)/median(task_ms) for both."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray import vector
+    from h3ray.h3core import polyfill as polyfill_mod
+    from h3ray.h3core import wkb
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        _enable_push_shuffle()
+    try:
+        res = int(os.environ.get("H3RAY_SKEW_RES", "6"))
+        n_geoms = int(os.environ.get("H3RAY_SKEW_N", "3000"))
+        rng = np.random.default_rng(11)
+        # heavy-tail radii: Pareto(alpha=1.05), median ~0.03 deg, capped
+        radii = np.minimum(0.03 * (1.0 + rng.pareto(1.05, n_geoms)), 4.0)
+        order = rng.permutation(n_geoms)  # shuffle so heavies scatter
+        radii = radii[order]
+        clat = rng.uniform(-55, 55, n_geoms)
+        clng = rng.uniform(-170, 170, n_geoms)
+        ang = np.linspace(0, 2 * np.pi, 25)[:-1]
+        geoms = []
+        for i in range(n_geoms):
+            ring = np.stack(
+                [clng[i] + radii[i] * np.cos(ang),
+                 clat[i] + radii[i] * 0.7 * np.sin(ang)], axis=1
+            )
+            ring = np.vstack([ring, ring[:1]])
+            geoms.append(wkb.dumps_polygon([ring]))
+        tbl = pa.table(
+            {"gid": pa.array(np.arange(n_geoms)),
+             "geometry": pa.array(geoms, type=pa.large_binary())}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(NUM_CPUS * 2).materialize()
+        ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            _warm_kernel, batch_format="pyarrow"
+        ).count()
+
+        class TimedPolyfill:
+            """One (n_cells, ms, tier) row per BATCH: measures per-task
+            compute so the straggler ratio is read from data, not log
+            scraping."""
+
+            def __init__(self, resolution, tier="all"):
+                self.resolution = resolution
+                self.tier = tier
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                t0 = time.perf_counter()
+                _, cells = vector.wkb_to_cells(
+                    batch.column("geometry").combine_chunks(), self.resolution
+                )
+                dt = (time.perf_counter() - t0) * 1000.0
+                return pa.table(
+                    {"n_cells": pa.array([len(cells)]),
+                     "ms": pa.array([dt]),
+                     "tier": pa.array([self.tier])}
+                )
+
+        def straggler(df):
+            ms = np.sort(df["ms"].to_numpy())
+            med = float(np.median(ms)) if len(ms) else 0.0
+            return float(ms[-1]) / med if med > 0 else float("nan")
+
+        split_at, grid = 8_192, 4
+        tiers = ((2_048, 64), (split_at, 2))
+
+        def split_rows(b: pa.Table) -> pa.Table:
+            w = b.column("pf_weight").to_numpy(zero_copy_only=False)
+            heavy = b.filter(pa.array(w >= split_at))
+            gb, x0, y0, x1, y1 = [], [], [], [], []
+            col = heavy.column("geometry")
+            for i in range(heavy.num_rows):
+                g = wkb.loads(col[i].as_py())
+                for wn in polyfill_mod.polygon_split_windows(g, res, grid):
+                    gb.append(col[i].as_py())
+                    x0.append(wn[0]); y0.append(wn[1])
+                    x1.append(wn[2]); y1.append(wn[3])
+            return pa.table(
+                {"geometry": pa.array(gb, type=pa.large_binary()),
+                 "x0": pa.array(x0), "y0": pa.array(y0),
+                 "x1": pa.array(x1), "y1": pa.array(y1)}
+            )
+
+        def timed_window(b: pa.Table) -> pa.Table:
+            t0 = time.perf_counter()
+            total = 0
+            for i in range(b.num_rows):
+                g = wkb.loads(b.column("geometry")[i].as_py())
+                win = (b.column("x0")[i].as_py(), b.column("y0")[i].as_py(),
+                       b.column("x1")[i].as_py(), b.column("y1")[i].as_py())
+                total += len(
+                    polyfill_mod.polygon_to_cells(g, res, clip_window=win)
+                )
+            dt = (time.perf_counter() - t0) * 1000.0
+            return pa.table({"n_cells": pa.array([total]),
+                             "ms": pa.array([dt]),
+                             "tier": pa.array(["split"])})
+
+        def routed_timed():
+            est = ds.map_batches(
+                lambda b: vector.polyfill_weight_kernel(b, "geometry", res),
+                batch_format="pyarrow",
+            )
+            outs, lo = [], 0
+            for hi, bs in tiers:
+                def flt(lo=lo, hi=hi):
+                    def k(b):
+                        w = b.column("pf_weight").to_numpy(zero_copy_only=False)
+                        m = (w >= lo) & (w < hi)
+                        return b.filter(pa.array(m)).drop_columns(["pf_weight"])
+                    return k
+                outs.append(
+                    est.map_batches(flt(), batch_format="pyarrow").map_batches(
+                        TimedPolyfill,
+                        fn_constructor_kwargs={"resolution": res,
+                                               "tier": f"lt{hi}"},
+                        batch_format="pyarrow", batch_size=bs,
+                        concurrency=NUM_CPUS,
+                    )
+                )
+                lo = hi
+            # heaviest geometries SPLIT into grid^2 independent window
+            # tasks (exact partition — vector.polyfill_skew_routed path)
+            outs.append(
+                est.map_batches(split_rows, batch_format="pyarrow")
+                .map_batches(timed_window, batch_format="pyarrow",
+                             batch_size=8)
+            )
+            out = outs[0]
+            for o in outs[1:]:
+                out = out.union(o)
+            return out
+
+        results = {}
+        for name, plan in (
+            ("uniform_bs64", lambda: ds.map_batches(
+                TimedPolyfill, fn_constructor_kwargs={"resolution": res},
+                batch_format="pyarrow", batch_size=64,
+                concurrency=NUM_CPUS)),
+            ("skew_routed", routed_timed),
+        ):
+            t0 = time.perf_counter()
+            df = plan().to_pandas()
+            wall = time.perf_counter() - t0
+            results[name] = {
+                "sec": round(wall, 3),
+                "cells": int(df["n_cells"].sum()),
+                "tasks": len(df),
+                "max_ms": round(float(df["ms"].max()), 1),
+                "median_ms": round(float(df["ms"].median()), 1),
+                "straggler_ratio": round(straggler(df), 2),
+                "tiers": {
+                    t: {"tasks": int((df["tier"] == t).sum()),
+                        "max_ms": round(float(df[df["tier"] == t]["ms"].max()), 1)}
+                    for t in sorted(df["tier"].unique())
+                },
+            }
+        # the library operator end-to-end (explode output), cell-count tie-in
+        t0 = time.perf_counter()
+        n_out = vector.polyfill_skew_routed(
+            ds, resolution=res, tiers=tiers + ((None, 1),),
+            concurrency=NUM_CPUS, split_cells=split_at, split_grid=grid,
+        ).count()
+        results["skew_routed_explode"] = {
+            "sec": round(time.perf_counter() - t0, 3), "cells": int(n_out)
+        }
+        assert n_out == results["skew_routed"]["cells"] == results[
+            "uniform_bs64"]["cells"]
+        print(json.dumps({"metric": "polyfill skew A/B", "res": res,
+                          "n_geoms": n_geoms, "num_cpus": NUM_CPUS,
+                          **results}))
+    finally:
+        ray.shutdown()
+
+
 def run_new_ops():
     """Labeled (non-headline) timings for the round-4 operators at
     $GRAFT_SF_DIR: each query runs through the shipped queries() plan
@@ -965,6 +1150,8 @@ if __name__ == "__main__":
         run_ts_scale()
     elif "--ivf-recall" in sys.argv:
         run_ivf_recall()
+    elif "--polyfill-skew" in sys.argv:
+        run_polyfill_skew()
     elif "--vertex-scale" in sys.argv:
         run_vertex_scale()
     elif "--ops" in sys.argv:

@@ -131,14 +131,14 @@ def _bbox_cover_cells(minx, miny, maxx, maxy, res: int) -> np.ndarray:
     return np.unique(latlng_to_cell(glat, glng, res))
 
 
-def polygon_to_cells(
-    geom: dict, res: int, containment_mode="containscentroid"
-) -> np.ndarray:
-    mode = normalize_mode(containment_mode)
+def _shifted_rings_bbox(geom: dict):
+    """Shared ring/shift/bbox derivation of polygon_to_cells and
+    polygon_split_windows — ONE copy so a split window computed by one is
+    always in the frame the other tests against."""
     rings = [np.asarray(r, dtype=np.float64) for r in _rings_of(geom)]
     rings = [r for r in rings if len(r) >= 4]
     if not rings:
-        return np.empty(0, dtype=np.uint64)
+        return rings, False, 0.0, 0.0, 0.0, 0.0
     allpts = np.vstack(rings)
     minx, miny = allpts.min(axis=0)
     maxx, maxy = allpts.max(axis=0)
@@ -154,12 +154,69 @@ def polygon_to_cells(
         allpts = np.vstack(rings)
         minx, miny = allpts.min(axis=0)
         maxx, maxy = allpts.max(axis=0)
+    return rings, shifted, float(minx), float(miny), float(maxx), float(maxy)
+
+
+def polygon_split_windows(geom: dict, res: int, grid: int) -> list:
+    """Split a polygon's candidate-cell extent into ``grid x grid``
+    half-open windows (in the polygon's antimeridian-shifted frame) that
+    PARTITION the buffered bbox by cell-center ownership: running
+    ``polygon_to_cells(geom, res, mode, clip_window=w)`` over every window
+    and concatenating yields EXACTLY the unsplit result, with no cell
+    found twice (each center belongs to one half-open window).  The
+    scale-out device for continent-sized polygons: each window is an
+    independent task whose cost is proportional to its candidate count.
+    Outer windows extend to +-inf so the buffer zone is always owned."""
+    rings, _, minx, miny, maxx, maxy = _shifted_rings_bbox(geom)
+    if not rings:
+        return []
+    xs = np.linspace(minx, maxx, grid + 1)
+    ys = np.linspace(miny, maxy, grid + 1)
+    xs[0], xs[-1] = -np.inf, np.inf
+    ys[0], ys[-1] = -np.inf, np.inf
+    return [
+        (float(xs[i]), float(ys[j]), float(xs[i + 1]), float(ys[j + 1]))
+        for i in range(grid)
+        for j in range(grid)
+    ]
+
+
+def polygon_to_cells(
+    geom: dict, res: int, containment_mode="containscentroid",
+    clip_window=None,
+) -> np.ndarray:
+    """Polygon -> cells in one of 4 containment modes.  With
+    ``clip_window`` (an (x0, y0, x1, y1) half-open window from
+    :func:`polygon_split_windows`, in the shifted frame) only candidate
+    cells whose CENTER lies in the window are tested — the per-task unit
+    of a split heavy-polygon polyfill; results over a window partition
+    concatenate to the exact unsplit result."""
+    mode = normalize_mode(containment_mode)
+    rings, shifted, minx, miny, maxx, maxy = _shifted_rings_bbox(geom)
+    if not rings:
+        return np.empty(0, dtype=np.uint64)
+    allpts = np.vstack(rings)
+    if clip_window is not None:
+        wx0, wy0, wx1, wy1 = clip_window
+        # shrink the LATTICE extent to the window (plus nothing: the
+        # lattice's own buffer re-expands it), keep ownership half-open
+        minx, miny = max(minx, wx0), max(miny, wy0)
+        maxx, maxy = min(maxx, wx1), min(maxy, wy1)
+        if minx > maxx or miny > maxy:
+            return np.empty(0, dtype=np.uint64)
+        minx = max(minx, -360.0); maxx = min(maxx, 540.0)
+        miny = max(miny, -90.0); maxy = min(maxy, 90.0)
     cand = _bbox_cover_cells(minx, miny, maxx, maxy, res)
     if len(cand) == 0:
         return cand
     clat, clng = cell_to_latlng(cand)
     if shifted:
         clng = np.where(clng < 0, clng + 360.0, clng)
+    if clip_window is not None:
+        own = (clng >= wx0) & (clng < wx1) & (clat >= wy0) & (clat < wy1)
+        cand, clat, clng = cand[own], clat[own], clng[own]
+        if len(cand) == 0:
+            return cand
     centroid_in = points_in_rings(clng, clat, rings)
 
     if mode == "containscentroid":

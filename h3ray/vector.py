@@ -462,6 +462,210 @@ def directededges_parse(strings, set_failing_to_invalid: bool = False):
     return vals, ok
 
 
+def polyfill_weight_kernel(
+    batch: pa.Table, geometry_col: str = "geometry", resolution: int = 9,
+    weight_col: str = "pf_weight",
+) -> pa.Table:
+    """Append an estimated polyfill output size per geometry: bbox area
+    over the mean cell area at ``resolution`` (cells-at-res count from the
+    spec formula 2 + 120*7^res), floored at 1; null geometries weigh 0.
+    A cheap O(vertices) WKB scan — the complexity probe behind
+    :func:`polyfill_skew_routed` (SURVEY §4 skew row)."""
+    import math
+
+    n_cells = 2 + 120 * 7 ** resolution
+    mean_cell_km2 = 4.0 * math.pi * 6371.0072 ** 2 / n_cells
+    col = batch.column(geometry_col)
+    out = np.zeros(len(batch), dtype=np.int64)
+    for i in range(len(batch)):
+        item = col[i].as_py()
+        if item is None:
+            continue
+        g = wkb.loads(item)
+        lo_x = lo_y = np.inf
+        hi_x = hi_y = -np.inf
+        stack = [g]
+        while stack:
+            q = stack.pop()
+            if "parts" in q:  # Multi*/GeometryCollection, possibly nested
+                stack.extend(q["parts"])
+                continue
+            for ring in q.get("rings") or (
+                [q["coords"]] if "coords" in q else []
+            ):
+                r = np.asarray(ring, dtype=np.float64)
+                lo_x = min(lo_x, r[:, 0].min()); hi_x = max(hi_x, r[:, 0].max())
+                lo_y = min(lo_y, r[:, 1].min()); hi_y = max(hi_y, r[:, 1].max())
+        if not np.isfinite(lo_x):
+            out[i] = 1
+            continue
+        midlat = math.radians((lo_y + hi_y) / 2.0)
+        km2 = ((hi_y - lo_y) * 111.2) * ((hi_x - lo_x) * 111.2 * max(
+            0.05, math.cos(midlat)))
+        out[i] = max(1, int(km2 / mean_cell_km2))
+    return batch.append_column(weight_col, pa.array(out))
+
+
+def polyfill_skew_routed(
+    ds,
+    resolution: int = 9,
+    containment_mode: str = "containscentroid",
+    compact: bool = False,
+    geometry_col: str = "geometry",
+    cell_col: str = "cell",
+    tiers: tuple = ((4_096, 256), (65_536, 8), (None, 1)),
+    concurrency=(1, 8),
+    split_cells: int | None = None,
+    split_grid: int = 4,
+):
+    """Skew-aware distributed polyfill (SURVEY §4 skew row): a cheap bbox
+    probe (:func:`polyfill_weight_kernel`) estimates each geometry's
+    output cell count, and geometries route into complexity TIERS — each
+    tier a `map_batches(PolyfillActor)` stage whose ``batch_size`` shrinks
+    with estimated weight (default: <=4k cells -> 256/batch, <=64k -> 8,
+    bigger -> 1 per task).  A continent-sized polygon therefore stalls
+    exactly ONE task instead of a 256-geometry batch; per-task work is
+    roughly equalized, which is what bounds stragglers.  The floor is the
+    single heaviest geometry — irreducible without geometry splitting,
+    which the reference also lacks (one rayon task per geometry,
+    crates/h3arrow/src/algorithm/from_geo.rs:123-151).
+
+    With ``split_cells`` set, geometries estimated above it are SPLIT:
+    their candidate extent partitions into ``split_grid**2`` half-open
+    cell-center-ownership windows (`polyfill.polygon_split_windows`) and
+    each window polyfills as an independent task — so ONE continent-sized
+    polygon fans out across the cluster instead of being one task's
+    irreducible floor.  The window partition is exact (every result cell
+    owned by exactly one window; pytest parity over all 4 containment
+    modes).  Splitting requires ``compact=False`` (compaction needs the
+    whole per-geometry cell set) and applies to (Multi)Polygons; other
+    geometry types fall back to one unsplit task.
+
+    ``ds`` is consumed once per tier (the routing is a filter, not an
+    exchange) — pass a parquet-backed/checkpointed dataset when upstream
+    is expensive.  Returns the exploded cells Dataset (non-geometry
+    columns carried through, like ``wkb_to_cells_kernel``)."""
+    if split_cells is not None and compact:
+        raise ValueError(
+            "split_cells requires compact=False: compaction needs every "
+            "geometry's full cell set in one place"
+        )
+    est = ds.map_batches(
+        lambda b: polyfill_weight_kernel(b, geometry_col, resolution),
+        batch_format="pyarrow",
+    )
+
+    def tier_filter(lo, hi):
+        def k(batch: pa.Table) -> pa.Table:
+            w = batch.column("pf_weight").to_numpy(zero_copy_only=False)
+            m = w >= lo if hi is None else (w >= lo) & (w < hi)
+            if split_cells is not None:
+                m &= w < split_cells
+            return batch.filter(pa.array(m)).drop_columns(["pf_weight"])
+
+        return k
+
+    outs = []
+    lo = 0
+    for hi, bs in tiers:
+        part = est.map_batches(tier_filter(lo, hi), batch_format="pyarrow")
+        kwargs = dict(
+            fn_constructor_kwargs={
+                "resolution": resolution,
+                "containment_mode": containment_mode,
+                "compact": compact,
+                "geometry_col": geometry_col,
+                "cell_col": cell_col,
+            },
+            batch_format="pyarrow",
+            batch_size=bs,
+            concurrency=concurrency,
+        )
+        outs.append(part.map_batches(PolyfillActor, **kwargs))
+        if hi is None:
+            break
+        lo = hi
+        if split_cells is not None and lo >= split_cells:
+            break
+
+    if split_cells is not None:
+        def split_rows(batch: pa.Table) -> pa.Table:
+            w = batch.column("pf_weight").to_numpy(zero_copy_only=False)
+            heavy = batch.filter(pa.array(w >= split_cells)).drop_columns(
+                ["pf_weight"]
+            )
+            idx, wx0, wy0, wx1, wy1 = [], [], [], [], []
+            col = heavy.column(geometry_col)
+            for i in range(heavy.num_rows):
+                item = col[i].as_py()
+                g = wkb.loads(item) if item is not None else None
+                wins = (
+                    polyfill.polygon_split_windows(g, resolution, split_grid)
+                    if g is not None and g.get("type") in (
+                        "Polygon", "MultiPolygon")
+                    else []
+                ) or [(None, None, None, None)]  # unsplittable: 1 full task
+                for wn in wins:
+                    idx.append(i)
+                    wx0.append(wn[0]); wy0.append(wn[1])
+                    wx1.append(wn[2]); wy1.append(wn[3])
+            out = heavy.take(pa.array(np.asarray(idx, dtype=np.int64)))
+            for name, vals in (("__wx0", wx0), ("__wy0", wy0),
+                               ("__wx1", wx1), ("__wy1", wy1)):
+                out = out.append_column(
+                    name, pa.array(vals, type=pa.float64())
+                )
+            return out
+
+        def window_polyfill(batch: pa.Table) -> pa.Table:
+            col = batch.column(geometry_col)
+            rows, cells = [], []
+            for i in range(batch.num_rows):
+                item = col[i].as_py()
+                if item is None:
+                    continue
+                g = wkb.loads(item)
+                x0 = batch.column("__wx0")[i].as_py()
+                if x0 is None:
+                    out = polyfill.geometry_to_cells(
+                        g, resolution, containment_mode, compact=False
+                    )
+                else:
+                    win = (x0, batch.column("__wy0")[i].as_py(),
+                           batch.column("__wx1")[i].as_py(),
+                           batch.column("__wy1")[i].as_py())
+                    out = polyfill.polygon_to_cells(
+                        g, resolution, containment_mode, clip_window=win
+                    )
+                rows.append(np.full(len(out), i, dtype=np.int64))
+                cells.append(out)
+            if rows:
+                ridx = np.concatenate(rows)
+                cvals = np.concatenate(cells)
+            else:
+                ridx = np.empty(0, dtype=np.int64)
+                cvals = np.empty(0, dtype=np.uint64)
+            out = batch.drop_columns(
+                [geometry_col, "__wx0", "__wy0", "__wx1", "__wy1"]
+            ).take(pa.array(ridx))
+            return out.append_column(cell_col, pa.array(cvals))
+
+        # window_polyfill is a plain function: tasks, no pool needed;
+        # an int cap is honored, an autoscaling tuple is actor-only
+        heavy_kwargs = dict(batch_format="pyarrow", batch_size=1)
+        if isinstance(concurrency, int):
+            heavy_kwargs["concurrency"] = concurrency
+        outs.append(
+            est.map_batches(split_rows, batch_format="pyarrow")
+            .map_batches(window_polyfill, **heavy_kwargs)
+        )
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
 class PolyfillActor:
     """Actor-pool polyfill stage for skewed geometry workloads:
 

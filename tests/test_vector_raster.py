@@ -395,3 +395,81 @@ def test_raster_axis_order_and_mode_enum():
 
     with pytest.raises(ValueError, match="axis_order"):
         raster.raster_to_cells(arr, t, 8, axis_order="zz")
+
+
+def test_polyfill_window_split_parity():
+    """polygon_split_windows + clip_window concatenates to EXACTLY the
+    unsplit polygon_to_cells result — all 4 containment modes, polygon
+    with a hole and a multipolygon, no cell found twice."""
+    import numpy as np
+
+    from h3ray.h3core import polyfill
+
+    outer = [[8.0, 47.0], [9.4, 47.0], [9.4, 48.2], [8.0, 48.2], [8.0, 47.0]]
+    hole = [[8.5, 47.4], [9.0, 47.4], [9.0, 47.8], [8.5, 47.8], [8.5, 47.4]]
+    poly = {"type": "Polygon", "rings": [np.array(outer), np.array(hole)]}
+    mp = {
+        "type": "MultiPolygon",
+        "parts": [
+            {"type": "Polygon", "rings": [np.array(outer), np.array(hole)]},
+            {"type": "Polygon", "rings": [np.array(
+                [[11.0, 46.0], [11.6, 46.0], [11.6, 46.5], [11.0, 46.5],
+                 [11.0, 46.0]])]},
+        ],
+    }
+    for geom in (poly, mp):
+        for mode in ("containscentroid", "containsboundary",
+                     "intersectsboundary", "covers"):
+            full = polyfill.polygon_to_cells(geom, 7, mode)
+            parts = []
+            for win in polyfill.polygon_split_windows(geom, 7, 3):
+                parts.append(
+                    polyfill.polygon_to_cells(geom, 7, mode, clip_window=win)
+                )
+            got = np.concatenate(parts) if parts else np.empty(0, np.uint64)
+            assert len(got) == len(np.unique(got))  # ownership: no dup
+            assert set(got.tolist()) == set(full.tolist()), (
+                geom["type"], mode, len(got), len(full))
+
+
+def test_polyfill_skew_routed_split(ray_session):
+    """polyfill_skew_routed with split_cells: a big polygon fans out over
+    split_grid^2 window tasks and the exploded output equals the plain
+    kernel's output; compact=True with splitting is rejected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from h3ray import vector
+    from h3ray.h3core import wkb
+
+    big = np.array(
+        [[6.0, 44.0], [10.0, 44.0], [10.0, 47.5], [6.0, 47.5], [6.0, 44.0]]
+    )
+    small = np.array(
+        [[12.0, 45.0], [12.1, 45.0], [12.1, 45.1], [12.0, 45.1], [12.0, 45.0]]
+    )
+    tbl = pa.table(
+        {
+            "gid": pa.array([0, 1], type=pa.int64()),
+            "geometry": pa.array(
+                [wkb.dumps_polygon([big]), wkb.dumps_polygon([small])],
+                type=pa.large_binary(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    out = vector.polyfill_skew_routed(
+        ds, resolution=6, split_cells=1000, split_grid=3
+    ).to_pandas()
+    ref = vector.wkb_to_cells_kernel(tbl, resolution=6).to_pandas()
+    for gid in (0, 1):
+        got = set(out[out["gid"] == gid]["cell"])
+        want = set(ref[ref["gid"] == gid]["cell"])
+        assert got == want and len(got) > 0
+    assert len(out) == len(ref)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compact"):
+        vector.polyfill_skew_routed(ds, resolution=6, compact=True,
+                                    split_cells=1000)
