@@ -902,6 +902,125 @@ def run_vertex_scale():
 
 
 
+def run_lsh_scale():
+    """LSH candidate-stage A/B at amplified group count: sf0.1 documents
+    replicated H3RAY_LSH_REPL x (distinct doc_ids), 16 bands -> ~16 x docs
+    band rows / LSH groups.  Default runs the bucketed plan (the shipped
+    path); H3RAY_AB_CONTROL=1 adds the per-(band, band_hash) map_groups
+    control — both emit the identical distinct pair set (asserted).
+    BASELINE §8 carries the measured 7-12x at 1.6M groups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        _enable_push_shuffle()
+    try:
+        from h3ray.functions import dedup
+        from h3ray.functions.text import hash_u64_batch
+
+        repl = int(os.environ.get("H3RAY_LSH_REPL", "20"))
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            return pa.concat_tables(
+                pa.table({"doc_id": pa.array(d + r * 1_000_000),
+                          "text": batch.column("text")})
+                for r in range(repl)
+            )
+
+        def sig(batch: pa.Table) -> pa.Table:
+            t = dedup.minhash_signatures(batch)
+            t = t.append_column(
+                "text_hash",
+                pa.array(hash_u64_batch(batch.column("text")).astype(np.int64)),
+            )
+            return dedup.minhash_bands(t, 16, "doc_id",
+                                       extra_cols=("text_hash",))
+
+        def band_rows():
+            return (
+                ray.data.from_arrow(docs).repartition(NUM_CPUS)
+                .map_batches(replicate, batch_format="pyarrow")
+                .map_batches(sig, batch_format="pyarrow")
+            )
+
+        results = {}
+        t0 = time.perf_counter()
+        pairs = (
+            band_rows()
+            .map_batches(lambda b: dedup.with_band_bucket(b, 256),
+                         batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(dedup.exact_pairs_bucketed, batch_format="pyarrow")
+        )
+        n_bucketed = dedup.distinct_pairs_ds(pairs, 256).count()
+        results["bucketed"] = {"sec": round(time.perf_counter() - t0, 2),
+                               "pairs": n_bucketed}
+        if os.environ.get("H3RAY_AB_CONTROL"):
+            t0 = time.perf_counter()
+            ctrl = (
+                band_rows()
+                .groupby(["band", "band_hash"])
+                .map_groups(dedup.exact_pairs_in_group, batch_format="pyarrow")
+                .groupby(["a", "b"]).count()
+            )
+            n_ctrl = ctrl.count()
+            results["pergroup_control"] = {
+                "sec": round(time.perf_counter() - t0, 2), "pairs": n_ctrl
+            }
+            assert n_ctrl == n_bucketed, (n_ctrl, n_bucketed)
+        print(json.dumps({
+            "metric": "LSH candidate stage", "docs": docs.num_rows * repl,
+            "band_rows": docs.num_rows * repl * 16, "num_cpus": NUM_CPUS,
+            **results,
+        }))
+    finally:
+        ray.shutdown()
+
+
+def run_cc_scale():
+    """Connected-components A/B: 200k star components of size 5 (1M
+    nodes, 800k edges; 2 rounds + 1 quiet).  Default runs the shipped
+    bucketed segment-min path; H3RAY_AB_CONTROL=1 adds the per-key
+    map_groups control (BASELINE §8: 8x at this size)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+        _enable_push_shuffle()
+    try:
+        from h3ray.functions import dedup
+
+        s_comp, k = (int(os.environ.get("H3RAY_CC_COMPONENTS", "200000")), 5)
+        centers = np.arange(s_comp, dtype=np.int64) * 10
+        a = np.repeat(centers, k - 1)
+        b = (centers[:, None] + np.arange(1, k)[None, :]).reshape(-1).astype(
+            np.int64
+        )
+        pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
+        t0 = time.perf_counter()
+        n = dedup.connected_components(
+            ray.data.from_arrow(pairs).repartition(NUM_CPUS), num_buckets=256
+        ).count()
+        print(json.dumps({
+            "metric": "connected components (bucketed)", "nodes": n,
+            "edges": len(a), "sec": round(time.perf_counter() - t0, 2),
+            "num_cpus": NUM_CPUS,
+        }))
+    finally:
+        ray.shutdown()
+
+
 def run_polyfill_skew():
     """Skew-aware polyfill A/B over a heavy-tail synthetic workload
     (SURVEY §4 skew row): n-gons whose radii follow a Pareto tail, so a
@@ -1152,6 +1271,10 @@ if __name__ == "__main__":
         run_ivf_recall()
     elif "--polyfill-skew" in sys.argv:
         run_polyfill_skew()
+    elif "--lsh-scale" in sys.argv:
+        run_lsh_scale()
+    elif "--cc-scale" in sys.argv:
+        run_cc_scale()
     elif "--vertex-scale" in sys.argv:
         run_vertex_scale()
     elif "--ops" in sys.argv:
