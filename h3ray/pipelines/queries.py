@@ -3639,6 +3639,84 @@ ORACLE_SQL.update(
 )
 
 
+def q_polyfill_split(sf_dir: str):
+    """Value-oracled heavy-polygon WINDOW-SPLIT polyfill (round-5 skew
+    operator, vector.polyfill_skew_routed): every nation rect polyfills
+    at res 5 with split_cells=1 so each rect fans out over split_grid^2
+    half-open ownership windows; the distributed result per rect must
+    equal the single-task `polygon_to_cells` run cell-for-cell (the
+    exactness claim of polygon_split_windows) — SQL states the equality
+    and nonemptiness as TRUE per rect.  The rect corner columns ride
+    through the explode as carry columns, so the verify kernel rebuilds
+    each ring without re-reading the table."""
+    from .. import vector as vector_mod
+    from ..h3core import polyfill as polyfill_mod
+    from ..h3core import wkb as wkb_mod
+
+    def mk_geoms(batch: pa.Table) -> pa.Table:
+        ids = batch.column("n_nationkey").to_numpy(zero_copy_only=False)
+        lat0 = (ids * 11 % 140) - 70.0
+        lng0 = (ids * 29 % 340) - 170.0
+        lat1, lng1 = lat0 + 9.0, lng0 + 13.0
+        geoms = []
+        for j in range(len(ids)):
+            ring = np.array(
+                [[lng0[j], lat0[j]], [lng1[j], lat0[j]], [lng1[j], lat1[j]],
+                 [lng0[j], lat1[j]], [lng0[j], lat0[j]]]
+            )
+            geoms.append(wkb_mod.dumps_polygon([ring]))
+        return pa.table(
+            {
+                "rect_id": pa.array(ids.astype(np.int64)),
+                "lng0": pa.array(lng0), "lat0": pa.array(lat0),
+                "geometry": pa.array(geoms, type=pa.large_binary()),
+            }
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        rid = int(batch.column("rect_id")[0].as_py())
+        lng0 = float(batch.column("lng0")[0].as_py())
+        lat0 = float(batch.column("lat0")[0].as_py())
+        ring = np.array(
+            [[lng0, lat0], [lng0 + 13.0, lat0], [lng0 + 13.0, lat0 + 9.0],
+             [lng0, lat0 + 9.0], [lng0, lat0]]
+        )
+        want = polyfill_mod.polygon_to_cells(
+            {"type": "Polygon", "rings": [ring]}, 5, "containscentroid"
+        )
+        got = np.sort(
+            batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        return pa.table(
+            {
+                "rect_id": pa.array([rid], type=pa.int64()),
+                "nonempty": pa.array([len(got) > 0]),
+                "split_matches": pa.array([np.array_equal(got, want)]),
+            }
+        )
+
+    geoms = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey"]
+    ).map_batches(mk_geoms, batch_format="pyarrow", zero_copy_batch=True)
+    cells = vector_mod.polyfill_skew_routed(
+        geoms, resolution=5, split_cells=1, split_grid=3
+    )
+    # 25 rects: a bounded groupby — the per-rect set-equality check
+    return cells.groupby("rect_id").map_groups(verify, batch_format="pyarrow")
+
+
+QUERIES.update({"polyfill_split": q_polyfill_split})
+ORACLE_SQL.update(
+    {
+        "polyfill_split": """
+            SELECT CAST(n_nationkey AS BIGINT) AS rect_id, TRUE AS nonempty,
+                   TRUE AS split_matches
+            FROM nation
+        """,
+    }
+)
+
+
 # ---------------------------------------------------------------------------
 # registry ordering
 # ---------------------------------------------------------------------------
