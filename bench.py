@@ -313,7 +313,7 @@ def run_bench():
     # read 1.5-5x on single shots (BASELINE §7/§8 ledger); the min of two
     # back-to-back reps is the standard drift-robust estimator and both
     # reps are reported for honesty
-    reps = int(os.environ.get("H3RAY_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("H3RAY_BENCH_REPS", "2")))
     all_times: list[dict] = []
     rows = {}
     for r in range(reps):
@@ -942,8 +942,11 @@ def run_lsh_scale():
             d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
+            # replica offset must exceed any real doc_id so replica id
+            # ranges never collide (r * 1M would alias at >= 1M docs)
+            stride = max(1_000_000, docs.num_rows)
             return pa.concat_tables(
-                pa.table({"doc_id": pa.array(d + r * 1_000_000),
+                pa.table({"doc_id": pa.array(d + r * stride),
                           "text": batch.column("text")})
                 for r in range(repl)
             )
@@ -1116,7 +1119,7 @@ def run_polyfill_skew():
             col = heavy.column("geometry")
             for i in range(heavy.num_rows):
                 g = wkb.loads(col[i].as_py())
-                for wn in polyfill_mod.polygon_split_windows(g, res, grid):
+                for wn in polyfill_mod.polygon_split_windows(g, grid):
                     gb.append(col[i].as_py())
                     x0.append(wn[0]); y0.append(wn[1])
                     x1.append(wn[2]); y1.append(wn[3])

@@ -157,10 +157,11 @@ def _shifted_rings_bbox(geom: dict):
     return rings, shifted, float(minx), float(miny), float(maxx), float(maxy)
 
 
-def polygon_split_windows(geom: dict, res: int, grid: int) -> list:
+def polygon_split_windows(geom: dict, grid: int) -> list:
     """Split a polygon's candidate-cell extent into ``grid x grid``
     half-open windows (in the polygon's antimeridian-shifted frame) that
-    PARTITION the buffered bbox by cell-center ownership: running
+    PARTITION the buffered bbox by cell-center ownership (the layout
+    depends only on the ring bbox, not on the target resolution): running
     ``polygon_to_cells(geom, res, mode, clip_window=w)`` over every window
     and concatenating yields EXACTLY the unsplit result, with no cell
     found twice (each center belongs to one half-open window).  The

@@ -79,12 +79,39 @@ def cells_dataframe_to_wkb(
     return out
 
 
-# Reference-name aliases so h3ronpy.pandas.vector call sites port
-# grep-clean (h3ronpy/python/h3ronpy/pandas/vector.py:59-109).  geopandas
-# is absent here, so the "geodataframe"/"geoseries" forms take/return
-# plain pandas objects with WKB-bytes geometry columns — semantics
-# otherwise identical to the wrappers they alias.
-geodataframe_to_cells = dataframe_to_cells
+# Reference-name wrappers so h3ronpy.pandas.vector call sites port with
+# the reference's POSITIONAL order intact
+# (h3ronpy/python/h3ronpy/pandas/vector.py:52-110).  geopandas is absent
+# here, so the "geodataframe"/"geoseries" forms take/return plain pandas
+# objects with WKB-bytes geometry columns; the reference reads geometry
+# from the gdf's active geometry column — here it is named by
+# ``geometry_column`` (default "geometry").
+
+
+def geodataframe_to_cells(
+    df: pd.DataFrame,
+    resolution: int,
+    containment_mode: str = "containscentroid",
+    compact: bool = False,
+    cell_column_name: str = "cell",
+    geometry_column: str = "geometry",
+) -> pd.DataFrame:
+    """Reference-signature explode (pandas/vector.py:74-110): the second
+    POSITIONAL argument is the H3 resolution, like the reference —
+    ``geodataframe_to_cells(gdf, 8)`` ports unchanged."""
+    return dataframe_to_cells(
+        df,
+        geometry_column=geometry_column,
+        resolution=resolution,
+        containment_mode=containment_mode,
+        compact=compact,
+        cell_column_name=cell_column_name,
+    )
+
+
+# geoseries_to_cells(series, resolution, ...) and
+# cells_dataframe_to_geodataframe(df, cell_column_name) already share the
+# reference's positional order with their local names — plain aliases
 geoseries_to_cells = series_to_cells
 cells_dataframe_to_geodataframe = cells_dataframe_to_wkb
 

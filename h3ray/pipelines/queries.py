@@ -2294,12 +2294,7 @@ def q_dissolve(sf_dir: str):
     def dissolve_bucket(batch: pa.Table) -> pa.Table:
         parents = batch.column("parent").to_numpy(zero_copy_only=False)
         cells = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
-        # distinct (parent, cell) rows, sorted by parent
-        order = np.lexsort((cells, parents))
-        p, c = parents[order], cells[order]
-        keep = np.ones(len(p), dtype=bool)
-        keep[1:] = (p[1:] != p[:-1]) | (c[1:] != c[:-1])
-        p, c = p[keep], c[keep]
+        p, c = vector_mod._dedup_tagged_cells(parents, cells)
         # one vectorized boundary pass over ALL the bucket's cells,
         # cancellation restricted to within-parent
         a, b, tag = vector_mod._boundary_segments_tagged(c, p)

@@ -550,6 +550,16 @@ def polyfill_skew_routed(
             "split_cells requires compact=False: compaction needs every "
             "geometry's full cell set in one place"
         )
+    last_hi = tiers[-1][0]
+    if last_hi is not None and (split_cells is None or split_cells > last_hi):
+        # every tier filter requires w < hi, so weights above the last
+        # finite bound (and below split_cells) would match NO path and
+        # silently vanish from the output
+        raise ValueError(
+            f"tiers must end with (None, batch_size), or split_cells "
+            f"(={split_cells}) must be <= the last tier bound ({last_hi}); "
+            "otherwise geometries above the bound are silently dropped"
+        )
     est = ds.map_batches(
         lambda b: polyfill_weight_kernel(b, geometry_col, resolution),
         batch_format="pyarrow",
@@ -600,7 +610,7 @@ def polyfill_skew_routed(
                 item = col[i].as_py()
                 g = wkb.loads(item) if item is not None else None
                 wins = (
-                    polyfill.polygon_split_windows(g, resolution, split_grid)
+                    polyfill.polygon_split_windows(g, split_grid)
                     if g is not None and g.get("type") in (
                         "Polygon", "MultiPolygon")
                     else []
@@ -741,10 +751,22 @@ def _boundary_segments(cells: np.ndarray):
     return _cancel_packed(pts, pts[nxt])
 
 
+def _dedup_tagged_cells(tags: np.ndarray, cells: np.ndarray):
+    """Distinct (tag, cell) rows sorted by tag — the shared preamble of
+    every `_boundary_segments_tagged` caller (duplicate cells within a
+    tag would break pairwise edge cancellation)."""
+    order = np.lexsort((cells, tags))
+    t, c = tags[order], cells[order]
+    keep = np.ones(len(t), dtype=bool)
+    keep[1:] = (t[1:] != t[:-1]) | (c[1:] != c[:-1])
+    return t[keep], c[keep]
+
+
 def _boundary_segments_tagged(cells: np.ndarray, tags: np.ndarray):
     """Directed boundary segments of MANY disjoint cell sets in ONE
     vectorized pass: ``cells[i]`` belongs to the set labelled ``tags[i]``;
-    shared-segment cancellation happens WITHIN each tag only.  Returns
+    shared-segment cancellation happens WITHIN each tag only (callers
+    dedupe (tag, cell) rows first via `_dedup_tagged_cells`).  Returns
     (a, b, seg_tags) — per-tag results equal `_boundary_segments` run on
     each tag's cells separately.  This is the segmented kernel behind the
     bucketed dissolve (all parents of a hash bucket in one task, no
@@ -874,11 +896,7 @@ def dissolve_cells_dataset(ds, parent_res: int = 3, cell_col: str = "cell"):
         # not per parent — parent cardinality grows with the cell set)
         parents = batch.column("parent").to_numpy(zero_copy_only=False)
         cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((cells, parents))
-        p, c = parents[order], cells[order]
-        keep = np.ones(len(p), dtype=bool)
-        keep[1:] = (p[1:] != p[:-1]) | (c[1:] != c[:-1])
-        p, c = p[keep], c[keep]
+        p, c = _dedup_tagged_cells(parents, cells)
         a, b, _ = _boundary_segments_tagged(c, p.astype(np.int64))
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 

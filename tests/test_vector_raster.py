@@ -422,7 +422,7 @@ def test_polyfill_window_split_parity():
                      "intersectsboundary", "covers"):
             full = polyfill.polygon_to_cells(geom, 7, mode)
             parts = []
-            for win in polyfill.polygon_split_windows(geom, 7, 3):
+            for win in polyfill.polygon_split_windows(geom, 3):
                 parts.append(
                     polyfill.polygon_to_cells(geom, 7, mode, clip_window=win)
                 )
@@ -473,3 +473,39 @@ def test_polyfill_skew_routed_split(ray_session):
     with _pytest.raises(ValueError, match="compact"):
         vector.polyfill_skew_routed(ds, resolution=6, compact=True,
                                     split_cells=1000)
+
+
+def test_geodataframe_to_cells_reference_positional_order():
+    """The reference's second positional argument is the RESOLUTION
+    (h3ronpy pandas/vector.py:74-110); the ported name must accept
+    `geodataframe_to_cells(df, 8)` unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from h3ray import pandas_compat, vector
+    from h3ray.h3core import faceijk
+
+    cells = faceijk.latlng_to_cell(np.array([47.0]), np.array([8.0]), 4)
+    poly = vector.cells_to_wkb_polygons(cells)[0].as_py()
+    df = pd.DataFrame({"geometry": [poly], "tag": [7]})
+    out = pandas_compat.geodataframe_to_cells(df, 6)  # positional res
+    assert len(out) > 0 and (out["tag"] == 7).all()
+    assert "cell" in out.columns
+
+
+def test_polyfill_skew_routed_rejects_uncovered_tail(ray_session):
+    """Caller-supplied tiers that leave a weight range unroutable (no
+    (None, bs) terminator and split_cells not covering the remainder)
+    fail loudly instead of silently dropping geometries."""
+    import pytest as _pytest
+    import ray
+
+    from h3ray import vector
+
+    ds = ray.data.from_items([{"geometry": None}])
+    with _pytest.raises(ValueError, match="silently dropped"):
+        vector.polyfill_skew_routed(ds, tiers=((4_096, 256), (65_536, 8)))
+    with _pytest.raises(ValueError, match="silently dropped"):
+        vector.polyfill_skew_routed(
+            ds, tiers=((4_096, 256), (65_536, 8)), split_cells=100_000
+        )
