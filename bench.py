@@ -938,18 +938,27 @@ def run_lsh_scale():
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
         )
 
+        distinct = bool(os.environ.get("H3RAY_LSH_DISTINCT"))
+
         def replicate(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
             # replica offset must exceed any real doc_id so replica id
             # ranges never collide (r * 1M would alias at >= 1M docs)
             stride = max(1_000_000, docs.num_rows)
-            return pa.concat_tables(
-                pa.table({"doc_id": pa.array(d + r * stride),
-                          "text": batch.column("text")})
-                for r in range(repl)
-            )
+            tabs = []
+            for r in range(repl):
+                text = batch.column("text")
+                if distinct and r:
+                    text = pc.binary_join_element_wise(
+                        text, pa.scalar(f" replica salt {r}"), ""
+                    )
+                tabs.append(pa.table({"doc_id": pa.array(d + r * stride),
+                                      "text": text}))
+            return pa.concat_tables(tabs)
 
         def sig(batch: pa.Table) -> pa.Table:
             t = dedup.minhash_signatures(batch)
