@@ -3700,6 +3700,79 @@ def q_polyfill_split(sf_dir: str):
     return cells.groupby("rect_id").map_groups(verify, batch_format="pyarrow")
 
 
+def q_pii_redact(sf_dir: str):
+    """Value-oracled PII scrub (functions/text.redact_pii — the standard
+    pre-training redaction pass): deterministic PII is planted (every
+    doc_id % 7 == 0 gets an email + IPv4 tail, % 13 == 0 a phone tail),
+    then emails/IPv4s/phone runs redact to typed placeholders with a
+    per-doc count.  Both pyarrow.compute and DuckDB compile regexes with
+    RE2, so the SQL twin applies the IDENTICAL patterns via
+    regexp_replace(..., 'g') / regexp_extract_all — full redacted-TEXT
+    parity, not just counts."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import redact_pii
+
+    def k(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        tail7 = np.where(ids % 7 == 0,
+                         " contact bob@example.com or 192.168.1.1", "")
+        tail13 = np.where(ids % 13 == 0, " call +1 (415) 555-0101 now", "")
+        text = pc.binary_join_element_wise(
+            text, pa.array(tail7), pa.array(tail13), ""
+        )
+        t = pa.table({"doc_id": batch.column("doc_id"), "text": text})
+        return redact_pii(t)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+
+QUERIES.update({"pii_redact": q_pii_redact})
+ORACLE_SQL.update(
+    {
+        "pii_redact": f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 7 = 0
+                            THEN ' contact bob@example.com or 192.168.1.1'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 13 = 0
+                            THEN ' call +1 (415) 555-0101 now'
+                            ELSE '' END AS text
+                FROM documents
+            ), r1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                            AS BIGINT) AS n1,
+                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
+                           AS text
+                FROM planted
+            ), r2 AS (
+                SELECT doc_id,
+                       n1 + CAST(len(regexp_extract_all(text, '{_PII_IP}'))
+                            AS BIGINT) AS n2,
+                       regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
+                FROM r1
+            )
+            SELECT doc_id,
+                   regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g')
+                       AS text,
+                   n2 + CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+                        AS BIGINT) AS n_redactions
+            FROM r2
+        """,
+    }
+)
+
+
 QUERIES.update({"polyfill_split": q_polyfill_split})
 ORACLE_SQL.update(
     {

@@ -160,3 +160,55 @@ def test_hash_sample_rate_property(keys, rate):
         sampling.hash_sample(t, rate / 2).column("doc_id").to_pylist()
     )
     assert kept_less <= kept
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3), st.integers(0, 500)),
+        min_size=0, max_size=120,
+    )
+)
+def test_multi_key_runs_matches_brute_force(rows):
+    """The bucketed run kernel's (order, first_idx, rank) equals a
+    per-composite-key brute force for arbitrary key collisions and
+    duplicate tiebreak values."""
+    from h3ray.functions.dedup import _multi_key_runs
+
+    k1 = np.array([r[0] for r in rows], dtype=np.int64)
+    k2 = np.array([r[1] for r in rows], dtype=np.int64)
+    doc = np.array([r[2] for r in rows], dtype=np.int64)
+    order, first_idx, rank = _multi_key_runs([k1, k2], doc)
+    triples = sorted(zip(k1.tolist(), k2.tolist(), doc.tolist()))
+    assert [
+        (k1[i], k2[i], doc[i]) for i in order.tolist()
+    ] == triples
+    # rank within each (k1, k2) run, brute-forced
+    want_rank = []
+    prev_key, r = None, 0
+    for a, b, _ in triples:
+        r = r + 1 if (a, b) == prev_key else 0
+        prev_key = (a, b)
+        want_rank.append(r)
+    assert rank.tolist() == want_rank
+    assert all(
+        first_idx[i] == i - rank[i] for i in range(len(rank))
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 20), st.integers(-50, 50)),
+             min_size=0, max_size=150)
+)
+def test_segment_min_broadcast_matches_brute_force(rows):
+    """Bucketed CC's segment-min kernel equals a per-key dict min."""
+    from h3ray.functions.dedup import _segment_min_broadcast
+
+    keys = np.array([r[0] for r in rows], dtype=np.int64)
+    labels = np.array([r[1] for r in rows], dtype=np.int64)
+    got = _segment_min_broadcast([keys], labels)
+    mins = {}
+    for k, v in rows:
+        mins[k] = min(mins.get(k, v), v)
+    assert got.tolist() == [mins[k] for k in keys.tolist()]

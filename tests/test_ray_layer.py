@@ -1382,3 +1382,30 @@ def test_connected_components_multibucket(ray_session):
     ).to_pandas()
     got = dict(zip(out["node"], out["cluster"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_redact_pii_kernel():
+    """Typed placeholders, per-doc counts, email digits not double-eaten
+    by the phone pattern, null text tolerated."""
+    from h3ray.functions.text import redact_pii
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+c@x-corp.io now",
+                    "server 10.0.255.7 responded, call +1 (415) 555-0101",
+                    "clean text with the number 42",
+                    None,
+                ]
+            ),
+        }
+    )
+    out = redact_pii(t)
+    texts = out.column("text").to_pylist()
+    n = out.column("n_redactions").to_pylist()
+    assert texts[0] == "mail <EMAIL> now" and n[0] == 1
+    assert texts[1] == "server <IP> responded, call <PHONE>" and n[1] == 2
+    assert texts[2] == "clean text with the number 42" and n[2] == 0
+    assert texts[3] is None and n[3] == 0
