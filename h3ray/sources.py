@@ -22,11 +22,21 @@ import os
 
 
 def detect_format(path: str) -> str:
-    """'lance' for a .lance dataset dir, else 'parquet'."""
+    """'lance' for a .lance dataset dir, 'jsonl' / 'csv' by extension,
+    else 'parquet'."""
     if path.endswith(".lance") or (
         os.path.isdir(path) and glob.glob(os.path.join(path, "*.lance"))
     ):
         return "lance"
+    lowered = path.lower()
+    if lowered.endswith((".jsonl", ".json", ".ndjson")) or (
+        os.path.isdir(path) and glob.glob(os.path.join(path, "*.jsonl"))
+    ):
+        return "jsonl"
+    if lowered.endswith((".csv", ".csv.gz")) or (
+        os.path.isdir(path) and glob.glob(os.path.join(path, "*.csv"))
+    ):
+        return "csv"
     return "parquet"
 
 
@@ -51,6 +61,14 @@ def read_table_dataset(path: str, format: str = "auto", columns=None,
     if fmt == "lance":
         _require_lance()
         return ray.data.read_lance(path, columns=columns, **read_kwargs)
+    if fmt == "jsonl":
+        # Ray's JSON reader has no column pushdown; prune post-read so the
+        # object store (not worker heaps) carries only the needed columns
+        ds = ray.data.read_json(_expand(path, "*.jsonl"), **read_kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if fmt == "csv":
+        ds = ray.data.read_csv(_expand(path, "*.csv"), **read_kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not paths:
@@ -61,6 +79,19 @@ def read_table_dataset(path: str, format: str = "auto", columns=None,
     else:
         paths = path
     return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
+
+
+def _expand(path: str, pattern: str):
+    """Directory -> sorted file list (loud on empty); file -> itself."""
+    if os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, pattern)))
+        if not paths:
+            raise FileNotFoundError(
+                f"no {pattern!r} files in {path!r} — mistyped corpus path? "
+                "(an empty scan would otherwise 'succeed' over zero rows)"
+            )
+        return paths
+    return path
 
 
 def list_fragments(path: str, format: str = "auto",

@@ -1409,3 +1409,32 @@ def test_redact_pii_kernel():
     assert texts[1] == "server <IP> responded, call <PHONE>" and n[1] == 2
     assert texts[2] == "clean text with the number 42" and n[2] == 0
     assert texts[3] is None and n[3] == 0
+
+
+def test_sources_jsonl_and_csv(ray_session, tmp_path):
+    """read_table_dataset dispatches JSONL and CSV with column pruning;
+    directory scans are loud on empty."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from h3ray import sources
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": f"t{i}", "extra": i * 2})
+        for i in range(5)
+    ))
+    ds = sources.read_table_dataset(str(jl), columns=["doc_id", "text"])
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(df.columns) == ["doc_id", "text"] and len(df) == 5
+    assert df["text"][3] == "t3"
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,text\n" + "\n".join(f"{i},c{i}" for i in range(4)))
+    df2 = sources.read_table_dataset(str(cv)).to_pandas()
+    assert len(df2) == 4 and set(df2.columns) == {"doc_id", "text"}
+
+    (tmp_path / "emptydir").mkdir()
+    with _pytest.raises(FileNotFoundError):
+        sources.read_table_dataset(str(tmp_path / "emptydir"))
