@@ -3813,12 +3813,14 @@ _WINDOW_PRIORITY = [
     # (b) exchanges reworked in round 5
     "exact_dedup", "minhash_pairs", "simhash_bands", "minhash_dup_rank",
     "dedup_clusters",
-    # (c) family keepers
+    # (c) operators NEW in round 5 (driver-green nowhere yet)
+    "polyfill_split", "pii_redact",
+    # (d) family keepers
     "flagship_resumable", "pip_join", "pip_join_fine", "jaccard_verify",
     "embedding_dup_pairs", "ann_ivf", "ivf_recall", "compact_invariant",
     "polyfill_rects", "hull_centroid", "localij", "grid_distance_path",
     "raster_pixel_agg", "rasterize_roundtrip", "latlng_cells",
-    "corpus_geo_cells", "children_explode", "grid_disk_aggregate_k",
+    "corpus_geo_cells",
 ]
 
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
