@@ -988,6 +988,21 @@ def run_lsh_scale():
         n_bucketed = dedup.distinct_pairs_ds(pairs, 256).count()
         results["bucketed"] = {"sec": round(time.perf_counter() - t0, 2),
                                "pairs": n_bucketed}
+        if os.environ.get("H3RAY_LSH_VERIFIED"):
+            # the COMPOSED near-dup pipeline: signatures -> bucketed LSH
+            # candidates -> bucketed distinct -> exact n-gram Jaccard
+            # verify >= 0.7 (the production fuzzy-dedup path end-to-end)
+            t0 = time.perf_counter()
+            verified = dedup.minhash_dedup_verified(
+                ray.data.from_arrow(docs).repartition(NUM_CPUS)
+                .map_batches(replicate, batch_format="pyarrow"),
+                threshold=0.7,
+            ).count()
+            dt = time.perf_counter() - t0
+            results["verified_pipeline"] = {
+                "sec": round(dt, 2), "pairs": verified,
+                "docs_per_sec": round(docs.num_rows * repl / dt),
+            }
         if os.environ.get("H3RAY_AB_CONTROL"):
             t0 = time.perf_counter()
             ctrl = (
