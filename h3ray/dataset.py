@@ -151,6 +151,20 @@ class H3Dataset:
             compact=compact, cell_col=cell_col,
         )
 
+    def wkb_to_cells_skew_routed(self, geometry_col="geometry", resolution=9,
+                                 containment_mode="containscentroid",
+                                 compact=False, cell_col="cell", **kwargs):
+        """Skew-aware polyfill: complexity-tier routing + exact
+        heavy-polygon window split (vector.polyfill_skew_routed) — use
+        over `wkb_to_cells` when geometry sizes are heavy-tailed."""
+        return H3Dataset(
+            vector.polyfill_skew_routed(
+                self.dataset, resolution=resolution,
+                containment_mode=containment_mode, compact=compact,
+                geometry_col=geometry_col, cell_col=cell_col, **kwargs,
+            )
+        )
+
     def cells_to_wkb_polygons(self, cell_col="cell", out_col="geometry"):
         def k(batch: pa.Table) -> pa.Table:
             cells = batch.column(cell_col).to_numpy(zero_copy_only=False).astype(np.uint64)
