@@ -939,6 +939,11 @@ def run_lsh_scale():
         )
 
         distinct = bool(os.environ.get("H3RAY_LSH_DISTINCT"))
+        # replica offset must exceed the MAX doc_id (not the row count —
+        # sparse ids would alias) so replica ranges never collide; hoisted
+        # to a plain int so the closure doesn't pickle the whole table
+        import pyarrow.compute as _pc
+        stride = max(1_000_000, int(_pc.max(docs.column("doc_id")).as_py()) + 1)
 
         def replicate(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -946,9 +951,6 @@ def run_lsh_scale():
             d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
                 np.int64
             )
-            # replica offset must exceed any real doc_id so replica id
-            # ranges never collide (r * 1M would alias at >= 1M docs)
-            stride = max(1_000_000, docs.num_rows)
             tabs = []
             for r in range(repl):
                 text = batch.column("text")
@@ -1029,7 +1031,8 @@ def run_cc_scale():
     """Connected-components A/B: 200k star components of size 5 (1M
     nodes, 800k edges; 2 rounds + 1 quiet).  Default runs the shipped
     bucketed segment-min path; H3RAY_AB_CONTROL=1 adds the per-key
-    map_groups control (BASELINE §8: 8x at this size)."""
+    map_groups control leg (BASELINE §8: 8x at this size; identical
+    label sums asserted)."""
     import numpy as np
     import pyarrow as pa
     import ray
@@ -1048,13 +1051,59 @@ def run_cc_scale():
         )
         pairs = pa.table({"a": pa.array(a), "b": pa.array(b)})
         t0 = time.perf_counter()
-        n = dedup.connected_components(
+        out = dedup.connected_components(
             ray.data.from_arrow(pairs).repartition(NUM_CPUS), num_buckets=256
-        ).count()
+        )
+        label_sum = out.sum("cluster")
+        n = out.count()
+        results = {"bucketed": {"nodes": n, "sec": round(time.perf_counter() - t0, 2)}}
+        if os.environ.get("H3RAY_AB_CONTROL"):
+            # round-4 per-key control: one Python kernel per node and per
+            # edge, two map_groups scatters per round
+            def seed_pairs(batch: pa.Table) -> pa.Table:
+                aa = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+                bb = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+                return pa.table(
+                    {"ea": pa.array(np.repeat(aa, 2)),
+                     "eb": pa.array(np.repeat(bb, 2)),
+                     "node": pa.array(np.stack([aa, bb], 1).reshape(-1)),
+                     "label": pa.array(np.stack([aa, bb], 1).reshape(-1))}
+                )
+
+            def scatter_min(batch: pa.Table) -> pa.Table:
+                lab = batch.column("label").to_numpy(zero_copy_only=False)
+                return batch.set_column(
+                    batch.schema.get_field_index("label"), "label",
+                    pa.array(np.full(len(lab), int(lab.min()), dtype=np.int64)),
+                )
+
+            t0 = time.perf_counter()
+            state = ray.data.from_arrow(pairs).repartition(NUM_CPUS).map_batches(
+                seed_pairs, batch_format="pyarrow"
+            )
+            prev = None
+            for _ in range(16):
+                state = (
+                    state.groupby("node")
+                    .map_groups(scatter_min, batch_format="pyarrow")
+                    .groupby(["ea", "eb"])
+                    .map_groups(scatter_min, batch_format="pyarrow")
+                    .materialize()
+                )
+                sm = state.sum("label")
+                if sm == prev:
+                    break
+                prev = sm
+            ctrl = state.groupby("node").min("label")
+            ctrl_sum = ctrl.sum("min(label)")
+            results["pergroup_control"] = {
+                "nodes": ctrl.count(),
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+            assert ctrl_sum == label_sum, (ctrl_sum, label_sum)
         print(json.dumps({
-            "metric": "connected components (bucketed)", "nodes": n,
-            "edges": len(a), "sec": round(time.perf_counter() - t0, 2),
-            "num_cpus": NUM_CPUS,
+            "metric": "connected components", "edges": len(a),
+            "num_cpus": NUM_CPUS, **results,
         }))
     finally:
         ray.shutdown()

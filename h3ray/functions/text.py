@@ -175,14 +175,13 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
         n = pc.count_substring_regex(text, pat).cast(pa.int64())
         total = n if total is None else pc.add(total, n)
         text = pc.replace_substring_regex(text, pat, repl)
-    name = out_col or text_col
-    if name in batch.column_names:
-        batch = batch.set_column(
-            batch.schema.get_field_index(name), name, text
-        )
-    else:
-        batch = batch.append_column(name, text)
-    return batch.append_column("n_redactions", pc.fill_null(total, 0))
+    def set_or_append(t: pa.Table, name: str, col) -> pa.Table:
+        if name in t.column_names:
+            return t.set_column(t.schema.get_field_index(name), name, col)
+        return t.append_column(name, col)
+
+    batch = set_or_append(batch, out_col or text_col, text)
+    return set_or_append(batch, "n_redactions", pc.fill_null(total, 0))
 
 
 def hash_u64_str(s: str) -> np.uint64:

@@ -3730,47 +3730,58 @@ def q_pii_redact(sf_dir: str):
     ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_IP = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
-_PII_PHONE = r"\+?[0-9][0-9()\-\s]{6,}[0-9]"
+def _pii_oracle_sql() -> str:
+    """Build the pii_redact SQL twin FROM text.PII_PATTERNS, so the
+    oracle's regexes are byte-identical to the engine's by construction
+    (a hand-maintained copy would silently drift on any pattern edit).
+    Counts are coalesce'd so a NULL text yields n_redactions = 0 on both
+    sides (the engine fill_null's the count; text stays NULL on both)."""
+    from ..functions.text import PII_PATTERNS
+
+    # the SQL chain below applies stages in this exact order — must match
+    # the engine's iteration order over PII_PATTERNS
+    assert [n for n, _, _ in PII_PATTERNS] == ["email", "ipv4", "phone"]
+    by_name = {name: (pat, repl) for name, pat, repl in PII_PATTERNS}
+    p_email, p_ip, p_phone = (
+        by_name["email"][0], by_name["ipv4"][0], by_name["phone"][0]
+    )
+    assert by_name["email"][1] == "<EMAIL>"  # SQL literals below mirror
+    assert by_name["ipv4"][1] == "<IP>"
+    assert by_name["phone"][1] == "<PHONE>"
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact bob@example.com or 192.168.1.1'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN ' call +1 (415) 555-0101 now'
+                        ELSE '' END AS text
+            FROM documents
+        ), r1 AS (
+            SELECT doc_id,
+                   CAST(coalesce(len(regexp_extract_all(text, '{p_email}')),
+                        0) AS BIGINT) AS n1,
+                   regexp_replace(text, '{p_email}', '<EMAIL>', 'g') AS text
+            FROM planted
+        ), r2 AS (
+            SELECT doc_id,
+                   n1 + CAST(coalesce(len(regexp_extract_all(text, '{p_ip}')),
+                        0) AS BIGINT) AS n2,
+                   regexp_replace(text, '{p_ip}', '<IP>', 'g') AS text
+            FROM r1
+        )
+        SELECT doc_id,
+               regexp_replace(text, '{p_phone}', '<PHONE>', 'g') AS text,
+               n2 + CAST(coalesce(len(regexp_extract_all(text, '{p_phone}')),
+                    0) AS BIGINT) AS n_redactions
+        FROM r2
+    """
+
 
 QUERIES.update({"pii_redact": q_pii_redact})
-ORACLE_SQL.update(
-    {
-        "pii_redact": f"""
-            WITH planted AS (
-                SELECT doc_id,
-                       text ||
-                       CASE WHEN doc_id % 7 = 0
-                            THEN ' contact bob@example.com or 192.168.1.1'
-                            ELSE '' END ||
-                       CASE WHEN doc_id % 13 = 0
-                            THEN ' call +1 (415) 555-0101 now'
-                            ELSE '' END AS text
-                FROM documents
-            ), r1 AS (
-                SELECT doc_id,
-                       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
-                            AS BIGINT) AS n1,
-                       regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g')
-                           AS text
-                FROM planted
-            ), r2 AS (
-                SELECT doc_id,
-                       n1 + CAST(len(regexp_extract_all(text, '{_PII_IP}'))
-                            AS BIGINT) AS n2,
-                       regexp_replace(text, '{_PII_IP}', '<IP>', 'g') AS text
-                FROM r1
-            )
-            SELECT doc_id,
-                   regexp_replace(text, '{_PII_PHONE}', '<PHONE>', 'g')
-                       AS text,
-                   n2 + CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
-                        AS BIGINT) AS n_redactions
-            FROM r2
-        """,
-    }
-)
+ORACLE_SQL.update({"pii_redact": _pii_oracle_sql()})
 
 
 QUERIES.update({"polyfill_split": q_polyfill_split})

@@ -30,14 +30,22 @@ def detect_format(path: str) -> str:
         return "lance"
     lowered = path.lower()
     if lowered.endswith((".jsonl", ".json", ".ndjson")) or (
-        os.path.isdir(path) and glob.glob(os.path.join(path, "*.jsonl"))
+        os.path.isdir(path)
+        and any(glob.glob(os.path.join(path, p)) for p in _JSONL_GLOBS)
     ):
+        # NOTE: routed to ray.data.read_json, which parses LINE-DELIMITED
+        # JSON only — a single standard-JSON array file will fail to parse
         return "jsonl"
     if lowered.endswith((".csv", ".csv.gz")) or (
-        os.path.isdir(path) and glob.glob(os.path.join(path, "*.csv"))
+        os.path.isdir(path)
+        and any(glob.glob(os.path.join(path, p)) for p in _CSV_GLOBS)
     ):
         return "csv"
     return "parquet"
+
+
+_JSONL_GLOBS = ("*.jsonl", "*.ndjson", "*.json")
+_CSV_GLOBS = ("*.csv", "*.csv.gz")
 
 
 def _require_lance():
@@ -63,11 +71,14 @@ def read_table_dataset(path: str, format: str = "auto", columns=None,
         return ray.data.read_lance(path, columns=columns, **read_kwargs)
     if fmt == "jsonl":
         # Ray's JSON reader has no column pushdown; prune post-read so the
-        # object store (not worker heaps) carries only the needed columns
-        ds = ray.data.read_json(_expand(path, "*.jsonl"), **read_kwargs)
+        # object store (not worker heaps) carries only the needed columns.
+        # file_extensions=None: _expand already resolved explicit paths, and
+        # Ray's default extension filter would silently drop .ndjson files.
+        read_kwargs.setdefault("file_extensions", None)
+        ds = ray.data.read_json(_expand(path, _JSONL_GLOBS), **read_kwargs)
         return ds.select_columns(list(columns)) if columns else ds
     if fmt == "csv":
-        ds = ray.data.read_csv(_expand(path, "*.csv"), **read_kwargs)
+        ds = ray.data.read_csv(_expand(path, _CSV_GLOBS), **read_kwargs)
         return ds.select_columns(list(columns)) if columns else ds
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
@@ -81,14 +92,18 @@ def read_table_dataset(path: str, format: str = "auto", columns=None,
     return ray.data.read_parquet(paths, columns=columns, **read_kwargs)
 
 
-def _expand(path: str, pattern: str):
-    """Directory -> sorted file list (loud on empty); file -> itself."""
+def _expand(path: str, patterns: tuple[str, ...]):
+    """Directory -> sorted file list over all patterns (loud on empty);
+    file -> itself."""
     if os.path.isdir(path):
-        paths = sorted(glob.glob(os.path.join(path, pattern)))
+        paths = sorted(
+            f for p in patterns for f in glob.glob(os.path.join(path, p))
+        )
         if not paths:
             raise FileNotFoundError(
-                f"no {pattern!r} files in {path!r} — mistyped corpus path? "
-                "(an empty scan would otherwise 'succeed' over zero rows)"
+                f"no files matching {patterns!r} in {path!r} — mistyped "
+                "corpus path? (an empty scan would otherwise 'succeed' "
+                "over zero rows)"
             )
         return paths
     return path

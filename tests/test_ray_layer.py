@@ -1435,6 +1435,49 @@ def test_sources_jsonl_and_csv(ray_session, tmp_path):
     df2 = sources.read_table_dataset(str(cv)).to_pandas()
     assert len(df2) == 4 and set(df2.columns) == {"doc_id", "text"}
 
+    # .ndjson in a directory: detect_format must route it to the JSON
+    # reader AND the reader must accept the extension (Ray's default
+    # file_extensions filter would silently drop .ndjson files)
+    (tmp_path / "nd").mkdir()
+    (tmp_path / "nd" / "part.ndjson").write_text(
+        "\n".join(_json.dumps({"doc_id": i}) for i in range(3))
+    )
+    assert sources.detect_format(str(tmp_path / "nd")) == "jsonl"
+    assert sources.read_table_dataset(str(tmp_path / "nd")).count() == 3
+
     (tmp_path / "emptydir").mkdir()
     with _pytest.raises(FileNotFoundError):
         sources.read_table_dataset(str(tmp_path / "emptydir"))
+
+
+def test_h3dataset_wkb_to_cells_skew_routed(ray_session):
+    """The H3Dataset wrapper forwards kwargs to polyfill_skew_routed and
+    equals the plain explode kernel; redact_pii applied twice keeps ONE
+    n_redactions column (set-or-append)."""
+    import ray
+
+    from h3ray import vector
+    from h3ray.dataset import H3Dataset
+    from h3ray.functions.text import redact_pii
+    from h3ray.h3core import wkb
+
+    big = np.array(
+        [[6.0, 44.0], [9.0, 44.0], [9.0, 46.5], [6.0, 46.5], [6.0, 44.0]]
+    )
+    tbl = pa.table(
+        {"gid": pa.array([0], type=pa.int64()),
+         "geometry": pa.array([wkb.dumps_polygon([big])],
+                              type=pa.large_binary())}
+    )
+    out = (
+        H3Dataset(ray.data.from_arrow(tbl))
+        .wkb_to_cells_skew_routed(resolution=5, split_cells=100, split_grid=2)
+        .dataset.to_pandas()
+    )
+    ref = vector.wkb_to_cells_kernel(tbl, resolution=5).to_pandas()
+    assert set(out["cell"]) == set(ref["cell"]) and len(out) == len(ref)
+
+    t = pa.table({"text": pa.array(["a@b.co then 1.2.3.4"])})
+    twice = redact_pii(redact_pii(t))
+    assert twice.column_names.count("n_redactions") == 1
+    assert twice.column("n_redactions").to_pylist() == [0]  # second pass clean
