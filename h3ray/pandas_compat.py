@@ -121,17 +121,27 @@ def raster_to_dataframe(
     transform,
     h3_resolution: int,
     nodata_value=None,
-    compact: bool = False,
+    axis_order: str = "yx",
+    compact: bool = True,
     geo: bool = False,
 ) -> pd.DataFrame:
     """2D array -> DataFrame {value, cell}; geo=True adds WKB polygons
-    (reference pandas/raster.py:16-65)."""
+    (reference pandas/raster.py:16-65, same argument order and
+    compact=True default)."""
     from . import raster as raster_mod
 
     t = raster_mod.raster_to_table(
-        in_raster, transform, h3_resolution, nodata_value, compact
+        in_raster, transform, h3_resolution, nodata_value,
+        axis_order=axis_order, compact=compact,
     )
     df = t.to_pandas()
     if geo:
         df = cells_dataframe_to_wkb(df)
     return df
+
+
+def raster_to_geodataframe(*a, **kw) -> pd.DataFrame:
+    """Reference pandas/raster.py:58-65: raster_to_dataframe(geo=True)
+    (WKB geometry column here — geopandas is absent)."""
+    kw["geo"] = True
+    return raster_to_dataframe(*a, **kw)

@@ -182,10 +182,30 @@ def raster_to_cells(
 
 
 def raster_to_table(
-    values, transform, h3_resolution, nodata_value=None, compact=False
+    values, transform, h3_resolution, nodata_value=None, axis_order="yx",
+    compact=False,
 ) -> pa.Table:
-    v, c = raster_to_cells(values, transform, h3_resolution, nodata_value, compact=compact)
+    v, c = raster_to_cells(values, transform, h3_resolution, nodata_value,
+                           axis_order=axis_order, compact=compact)
     return pa.table({"value": pa.array(v), "cell": pa.array(c)})
+
+
+def raster_to_dataframe(
+    in_raster: np.ndarray,
+    transform,
+    h3_resolution: int,
+    nodata_value=None,
+    axis_order: str = "yx",
+    compact: bool = True,
+) -> pa.Table:
+    """Reference-name twin of :func:`raster_to_table` with the reference's
+    argument order and defaults (h3ronpy/python/h3ronpy/raster.py:77-84
+    returns an arrow Table despite the name; the pandas form lives in
+    ``pandas_compat.raster_to_dataframe``)."""
+    return raster_to_table(
+        in_raster, transform, h3_resolution, nodata_value,
+        axis_order=axis_order, compact=compact,
+    )
 
 
 # --- Ray tile pipeline ------------------------------------------------------

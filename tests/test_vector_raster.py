@@ -509,3 +509,29 @@ def test_polyfill_skew_routed_rejects_uncovered_tail(ray_session):
         vector.polyfill_skew_routed(
             ds, tiers=((4_096, 256), (65_536, 8)), split_cells=100_000
         )
+
+
+def test_raster_to_dataframe_reference_names():
+    """Reference-name twins: raster.raster_to_dataframe (arrow Table,
+    h3ronpy raster.py:77-84 argument order, compact=True default),
+    pandas_compat.raster_to_dataframe / raster_to_geodataframe
+    (pandas/raster.py:16-65)."""
+    from h3ray import pandas_compat, raster
+
+    t = raster.Transform(a=0.01, b=0, c=10.0, d=0, e=-0.01, f=46.0)
+    arr = np.arange(100, dtype=np.int32).reshape(10, 10)
+    tab = raster.raster_to_dataframe(arr, t, 7, nodata_value=0,
+                                     compact=False)
+    assert tab.column_names == ["value", "cell"] and tab.num_rows > 0
+    # axis_order parity: the transposed array in "xy" yields the same cells
+    tab_xy = raster.raster_to_dataframe(arr.T, t, 7, nodata_value=0,
+                                        axis_order="xy", compact=False)
+    assert sorted(tab_xy.column("cell").to_pylist()) == sorted(
+        tab.column("cell").to_pylist()
+    )
+    df = pandas_compat.raster_to_dataframe(arr, t, 7, nodata_value=0,
+                                           compact=False)
+    assert list(df.columns) == ["value", "cell"] and len(df) == tab.num_rows
+    gdf = pandas_compat.raster_to_geodataframe(arr, t, 7, nodata_value=0,
+                                               compact=False)
+    assert "geometry" in gdf.columns and len(gdf) == tab.num_rows
