@@ -212,3 +212,72 @@ def test_segment_min_broadcast_matches_brute_force(rows):
     for k, v in rows:
         mins[k] = min(mins.get(k, v), v)
     assert got.tolist() == [mins[k] for k in keys.tolist()]
+
+
+# --- top-level array API (h3ray.arrays) properties ---------------------------
+
+_cells_strategy = st.lists(coords, min_size=1, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_cells_strategy)
+def test_arrays_parse_string_roundtrip(cs):
+    import h3ray as h
+
+    lat = np.array([c[0] for c in cs])
+    lng = np.array([c[1] for c in cs])
+    res = np.array([c[2] for c in cs])
+    cells = faceijk.latlng_to_cell(lat, lng, res)
+    strings = h.cells_to_string(cells)
+    assert h.cells_parse(strings).to_pylist() == cells.tolist()
+    # decimal-integer form parses to the same cells
+    dec = [str(int(c)) for c in cells]
+    assert h.cells_parse(dec).to_pylist() == cells.tolist()
+
+
+@settings(max_examples=40, deadline=None)
+@given(coords, st.integers(min_value=0, max_value=2))
+def test_arrays_change_resolution_list_flatten_consistency(c, delta):
+    """change_resolution == concat(change_resolution_list) when all rows
+    are valid (the reference's flatten relationship)."""
+    import pyarrow as pa
+
+    import h3ray as h
+
+    lat, lng, res = c
+    target = min(15, res + delta)
+    cell = faceijk.latlng_to_cell(np.array([lat]), np.array([lng]), res)
+    arr = pa.array(np.repeat(cell, 3), type=pa.uint64())
+    flat = h.change_resolution(arr, target).to_pylist()
+    lst = h.change_resolution_list(arr, target).to_pylist()
+    assert sorted(x for row in lst for x in row) == sorted(flat)
+    paired = h.change_resolution_paired(arr, target)
+    assert sorted(paired.column("cell_after").to_pylist()) == sorted(flat)
+
+
+@settings(max_examples=40, deadline=None)
+@given(coords)
+def test_arrays_localij_roundtrip_within_disk(c):
+    import pyarrow as pa
+
+    import h3ray as h
+
+    lat, lng, res = c
+    anchor = int(
+        faceijk.latlng_to_cell(np.array([lat]), np.array([lng]), res)[0]
+    )
+    neigh = h.grid_disk(pa.array([anchor], type=pa.uint64()), 1, flatten=True)
+    ij = h.cells_to_localij(neigh, anchor, set_failing_to_invalid=True)
+    i, j = ij.column("i"), ij.column("j")
+    ok_rows = [k for k in range(len(i)) if i[k].as_py() is not None]
+    back = h.localij_to_cells(
+        anchor, i.take(pa.array(ok_rows)), j.take(pa.array(ok_rows)),
+        set_failing_to_invalid=True,
+    )
+    got = [x for x in back.to_pylist() if x is not None]
+    want = [neigh[k].as_py() for k in ok_rows]
+    # every successfully round-tripped coordinate lands on its source cell
+    assert all(g == w for g, w in zip(got, want) if g is not None)
+    # and the k=1 disk of a hexagon anchor round-trips completely
+    if not bits.is_pentagon(np.array([anchor], dtype=np.uint64))[0]:
+        assert len(ok_rows) == len(neigh) and got == want
