@@ -576,6 +576,31 @@ def _scaling_child(n_points: int):
     ray.shutdown()
 
 
+def _single_core_probe(n: int = 600_000) -> float:
+    """In-run measurement-window calibration: single-core rows/s of the
+    scaling kernel's work (latlng encode + grid_disk_distances + parent),
+    warm rep.  The clean band on this host is ~76-80k rows/s/core; <70k
+    means external load, >85k means low-occupancy turbo that inflates the
+    low-cpu baseline and understates efficiency (see BASELINE.md
+    "measurement-window honesty log").  Recorded per rep in the --scaling
+    JSON so every reading carries its own window diagnosis."""
+    import numpy as np
+
+    from h3ray.h3core import bits, faceijk, traversal
+
+    i = np.arange(n, dtype=np.int64)
+    lat = ((i * 37) % 16000) / 100.0 - 80.0
+    lng = ((i * 73) % 35000) / 100.0 - 175.0
+    best = 0.0
+    for _ in range(2):  # first rep warms caches/JIT'd ufunc paths
+        t0 = time.perf_counter()
+        c = faceijk.latlng_to_cell(lat, lng, 7)
+        traversal.grid_disk_distances(c, 1)
+        bits.cell_to_parent(c, 4)
+        best = max(best, n / (time.perf_counter() - t0))
+    return best
+
+
 def run_scaling(n_points: int = 24_000_000):
     """N vs 4N scaling on identical input in fresh Ray sessions.
 
@@ -604,10 +629,12 @@ def run_scaling(n_points: int = 24_000_000):
     )
     reps = int(os.environ.get("H3RAY_SCALING_REPS", "3"))
     samples = {c: [] for c in pair}
+    probes = []
     # interleave repetitions and take the MEDIAN per level: the shared host
     # turbo-boosts low-occupancy runs, so best-of-N inflates the low-cpu
     # baseline and understates efficiency
     for _ in range(reps):
+        probes.append(round(_single_core_probe() / 1000.0, 1))
         for cpus in pair:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -638,6 +665,7 @@ def run_scaling(n_points: int = 24_000_000):
         f"throughput_{lo}cpu": round(tp_lo),
         f"throughput_{hi}cpu": round(tp_hi),
         "per_rep_efficiency": [round(e, 3) for e in effs],
+        "per_rep_probe_krows_per_core": probes,
         "n_points": n_points,
     }
     print(json.dumps(out))
