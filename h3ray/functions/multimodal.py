@@ -242,3 +242,91 @@ def media_pipeline(ds, mode: str = "fake", concurrency: int = 4, batch_size: int
         batch_size=batch_size,
         batch_format="pyarrow",
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: decode + block-mean resize to (out_size x
+    out_size), emitting REAL pixel buffers (float32 bytes) with typed
+    size metadata — the plumbing a production resize stage needs
+    (schema, batch sizing, actor state, output layout), with the codec
+    behind the same FAKE/STRICT gate as :class:`MediaDecoder`.
+
+    Decode follows MediaDecoder's deterministic fake codec (payload
+    bytes tiled to decode_size^2, /255); resize is one vectorized
+    block-mean over the whole batch: the (nrow, n) pixel matrix is a
+    single fancy-gather ``flat[start_i + (arange(n) % len_i)]``, then
+    ``reshape(nrow, out, f, out, f).mean((2, 4))`` with
+    f = decode_size // out_size.  No per-row Python.
+
+    ``decode_size`` must be a multiple of ``out_size`` (exact block
+    partition; real resizers interpolate, the fake one averages)."""
+
+    def __init__(self, mode: DecodeMode | str = DecodeMode.FAKE,
+                 decode_size: int = 32, out_size: int = 8):
+        self.mode = DecodeMode(mode) if not isinstance(mode, DecodeMode) else mode
+        if decode_size % out_size:
+            raise ValueError(
+                f"decode_size {decode_size} must be a multiple of "
+                f"out_size {out_size}"
+            )
+        self.decode_size = decode_size
+        self.out_size = out_size
+        self.codec = None  # real resize backend would load here, once
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.mode is DecodeMode.STRICT:
+            raise NotImplementedError(
+                "media codecs are not available in this environment; "
+                "plug a decoder in ImageResizer.__call__"
+            )
+        from ._strkern import utf8_view
+
+        data, off = utf8_view(batch.column("payload"))
+        lens = np.diff(off)
+        nrow = len(batch)
+        S, O = self.decode_size, self.out_size
+        n = S * S
+        # (nrow, n) gather of the tiled fake decode; empty payloads -> 0
+        # (their gather start is pinned to 0 — an empty row's offset can sit
+        # AT the end of the flat buffer and would index out of bounds)
+        if len(data) == 0:
+            px = np.zeros((nrow, n), dtype=np.float32)
+        else:
+            safe_lens = np.maximum(lens, 1)
+            starts = np.where(lens > 0, off[:-1], 0)
+            idx = starts[:, None] + (np.arange(n, dtype=np.int64)[None, :]
+                                     % safe_lens[:, None])
+            px = data[idx].astype(np.float32) / 255.0
+            px[lens == 0] = 0.0
+        f = S // O
+        small = px.reshape(nrow, O, f, O, f).mean(axis=(2, 4))
+        buf = small.astype(np.float32).tobytes()
+        row_nbytes = O * O * 4
+        offsets = pa.array(
+            np.arange(nrow + 1, dtype=np.int64) * row_nbytes
+        )
+        pixels = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), nrow,
+            [None, offsets.buffers()[1], pa.py_buffer(buf)],
+        )
+        batch = batch.append_column("pixels", pixels)
+        batch = batch.append_column(
+            "width", pa.array(np.full(nrow, O, dtype=np.int32))
+        )
+        return batch.append_column(
+            "height", pa.array(np.full(nrow, O, dtype=np.int32))
+        )
+
+
+def resize_pipeline(ds, decode_size: int = 32, out_size: int = 8,
+                    concurrency: int = 4, batch_size: int = 64):
+    """media payloads -> resized pixel buffers (actor pool; small batches
+    — a batch holds batch_size x decode_size^2 float32s mid-kernel)."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"decode_size": decode_size,
+                               "out_size": out_size},
+        concurrency=concurrency,
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )

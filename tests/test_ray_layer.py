@@ -1481,3 +1481,59 @@ def test_h3dataset_wkb_to_cells_skew_routed(ray_session):
     twice = redact_pii(redact_pii(t))
     assert twice.column_names.count("n_redactions") == 1
     assert twice.column("n_redactions").to_pylist() == [0]  # second pass clean
+
+
+def test_image_resizer_block_mean(ray_session):
+    """ImageResizer: actor-pool decode + block-mean resize emits real
+    float32 pixel buffers.  Row 0 matches the scalar tile-decode +
+    block-mean reference byte-for-byte; empty payloads yield all-zero
+    pixels; the resize preserves MediaDecoder's exact feat_mean (block
+    averaging cannot change the global mean); STRICT mode raises where a
+    codec would plug in; decode/out size mismatch is a loud error."""
+    import ray
+
+    from h3ray.functions import multimodal as mm
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "kind": pa.array(["image"] * 3),
+            "payload": pa.array(
+                [b"abcdefgh", b"\x00\xff" * 5, b""], type=pa.large_binary()
+            ),
+        }
+    )
+    out = (
+        mm.resize_pipeline(
+            ray.data.from_arrow(t), decode_size=32, out_size=8,
+            concurrency=2, batch_size=2,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert (out["width"] == 8).all() and (out["height"] == 8).all()
+
+    pay = b"abcdefgh"
+    b = np.frombuffer(pay, np.uint8).astype(np.float32)
+    n = 32 * 32
+    arr = (np.tile(b, -(-n // len(b)))[:n] / 255.0).reshape(32, 32)
+    want = arr.reshape(8, 4, 8, 4).mean((1, 3)).astype(np.float32)
+    got = np.frombuffer(out.loc[1, "pixels"], np.float32).reshape(8, 8)
+    assert np.allclose(got, want, rtol=0, atol=1e-6)
+
+    empty = np.frombuffer(out.loc[3, "pixels"], np.float32)
+    assert len(empty) == 64 and (empty == 0).all()
+
+    # mean preservation vs MediaDecoder's closed-form feat_mean
+    feats = mm.MediaDecoder(target_size=32)(t)
+    for did, fm in zip(feats.column("doc_id").to_pylist(),
+                       feats.column("feat_mean").to_pylist()):
+        pm = float(np.frombuffer(out.loc[did, "pixels"], np.float32).mean())
+        assert pm == pytest.approx(fm, abs=1e-6)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple"):
+        mm.ImageResizer(decode_size=32, out_size=7)
+    with _pytest.raises(NotImplementedError):
+        mm.ImageResizer(mode="strict")(t)
