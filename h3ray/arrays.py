@@ -175,10 +175,10 @@ def _make_h3index_valid_wrapper(fn, h3index_name, wrapper_name):
         return pa.array(vals, mask=~ok)
 
     valid_wrapper.__doc__ = f"""
-    Validate an array of potentially invalid {h3index_name} values by
-    returning a new UInt64 array with the validity mask set accordingly,
-    or a boolean array when `booleanarray` is set (reference
-    __init__.py:181-195).
+    Check which u64s are well-formed {h3index_name} indexes: the default
+    output is the input with failing positions nulled out; pass
+    ``booleanarray=True`` for a plain bool mask instead (semantics per
+    reference __init__.py:181-195).
     """
     valid_wrapper.__name__ = wrapper_name
     return valid_wrapper
