@@ -10,6 +10,8 @@ from .h3core.polyfill import ContainmentMode  # noqa: F401
 from .arrays import (  # noqa: F401
     DEFAULT_CELL_COLUMN_NAME,
     H3_CRS,
+    __version__,
+    version,
     cells_area_km2,
     cells_area_m2,
     cells_area_rads2,

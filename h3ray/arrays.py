@@ -24,11 +24,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from . import kernels, vector
+from . import kernels
 from .h3core import bits, boundary, hierarchy, localij as _localij, traversal
 
 DEFAULT_CELL_COLUMN_NAME = kernels.DEFAULT_CELL_COLUMN_NAME
 H3_CRS = "EPSG:4326"
+__version__ = "0.5.0"
+
+
+def version() -> str:
+    """Engine version string (the reference exports ``version`` from its
+    native module; __init__.py:24)."""
+    return __version__
 
 
 def _to_arrow(arr, dtype: pa.DataType | None = None) -> pa.Array:
@@ -67,6 +74,22 @@ def _masked_array(vals: np.ndarray, nulls: np.ndarray | None = None) -> pa.Array
     return pa.array(vals)
 
 
+def _require_valid(vals, nulls, checker, what: str) -> None:
+    """Reference failure parity: the reference validates every NON-NULL
+    u64 when building its typed index arrays and raises on garbage
+    (crates/h3arrow/src/array/mod.rs:193-210); nulls pass through."""
+    bad = ~nulls & ~checker(vals)
+    if bad.any():
+        examples = vals[bad][:3].tolist()
+        raise ValueError(f"invalid {what} index values: {examples}")
+
+
+def _valid_u64(arr, checker=None, what: str = "cell"):
+    vals, nulls = _to_u64(arr)
+    _require_valid(vals, nulls, checker or bits.is_valid_cell, what)
+    return vals, nulls
+
+
 def change_resolution(arr, resolution: int) -> pa.Array:
     """All cells -> ``resolution``; finer targets explode to children so
     the output may be longer than the input.  Invalid/null values are
@@ -100,9 +123,8 @@ def change_resolution_list(arr, resolution: int) -> pa.Array:
 def change_resolution_paired(arr, resolution: int) -> pa.Table:
     """(cell_before, cell_after) rows for cross-resolution joins
     (reference src/op/resolution.rs:48-81)."""
-    vals, nulls = _to_u64(arr)
-    keep = ~nulls & bits.is_valid_cell(vals)
-    before, after = hierarchy.change_resolution_paired(vals[keep], resolution)
+    vals, nulls = _valid_u64(arr)
+    before, after = hierarchy.change_resolution_paired(vals[~nulls], resolution)
     return pa.table(
         {
             f"{DEFAULT_CELL_COLUMN_NAME}_before": pa.array(before),
@@ -112,8 +134,9 @@ def change_resolution_paired(arr, resolution: int) -> pa.Table:
 
 
 def cells_resolution(arr) -> pa.Array:
-    """Resolution of each cell (uint8, nulls preserved)."""
-    vals, nulls = _to_u64(arr)
+    """Resolution of each cell (uint8, nulls preserved; invalid non-null
+    values raise, per the reference's typed-array validation)."""
+    vals, nulls = _valid_u64(arr)
     return _masked_array(bits.get_resolution(vals).astype(np.uint8), nulls)
 
 
@@ -134,26 +157,53 @@ def cells_parse(arr, set_failing_to_invalid: bool = False) -> pa.Array:
     return _parse_via_kernel(arr, set_failing_to_invalid)
 
 
+def _parse_index(arr, checker, what: str, set_failing_to_invalid: bool) -> pa.Array:
+    """Hex / decimal-int string parse for vertex and edge indexes:
+    vectorized jagged hex parse (bits.parse_hex_u64 over a zero-copy
+    utf8 view), scalar fallback only for the rare non-hex spellings.
+    Null inputs stay null without raising (reference null semantics,
+    crates/h3arrow/src/algorithm/string.rs:39-63)."""
+    col = _to_arrow(arr, pa.large_string())
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    filled = pc.utf8_trim_whitespace(pc.fill_null(col, ""))
+    from .functions._strkern import utf8_view
+
+    stripped = pc.utf8_ltrim(filled, "0")
+    data, off = utf8_view(stripped)
+    vals, ok = bits.parse_hex_u64(data, off)
+    ok |= np.diff(off) == 0  # "000" parses to 0 (fails the validity check)
+    rest = ~ok & ~nulls
+    if rest.any():  # decimal overflow / exotic int() spellings
+        ridx = np.nonzero(rest)[0]
+        rvals, rok = bits.parse_hex_strings(
+            [filled[int(r)].as_py() for r in ridx]
+        )
+        vals[ridx], ok[ridx] = rvals, rok
+    ok &= checker(vals)
+    failing = ~ok & ~nulls
+    if not set_failing_to_invalid and failing.any():
+        bad = [filled[int(r)].as_py() for r in np.nonzero(failing)[0][:3]]
+        raise ValueError(f"non-parsable {what}: {bad}")
+    return pa.array(vals, mask=~ok | nulls)
+
+
 def vertexes_parse(arr, set_failing_to_invalid: bool = False) -> pa.Array:
-    strings = _to_arrow(arr, pa.large_string())
-    vals, ok = vector.vertexes_parse(
-        strings.to_pylist(), set_failing_to_invalid=set_failing_to_invalid
+    return _parse_index(
+        arr, bits.is_valid_vertex, "VertexIndex", set_failing_to_invalid
     )
-    return _masked_array(vals, ~ok)
 
 
 def directededges_parse(arr, set_failing_to_invalid: bool = False) -> pa.Array:
-    strings = _to_arrow(arr, pa.large_string())
-    vals, ok = vector.directededges_parse(
-        strings.to_pylist(), set_failing_to_invalid=set_failing_to_invalid
+    return _parse_index(
+        arr, bits.is_valid_directededge, "DirectedEdgeIndex",
+        set_failing_to_invalid,
     )
-    return _masked_array(vals, ~ok)
 
 
 def compact(arr, mixed_resolutions: bool = False) -> pa.Array:
     """Compact same-resolution cells (raises on heterogeneous input unless
     ``mixed_resolutions``; reference __init__.py:159-167)."""
-    vals, nulls = _to_u64(arr)
+    vals, nulls = _valid_u64(arr)
     return pa.array(
         hierarchy.compact(vals[~nulls], mixed_resolutions=mixed_resolutions)
     )
@@ -162,7 +212,7 @@ def compact(arr, mixed_resolutions: bool = False) -> pa.Array:
 def uncompact(arr, target_resolution: int) -> pa.Array:
     """Expand to ``target_resolution``; finer inputs are omitted
     (reference __init__.py:170-177)."""
-    vals, nulls = _to_u64(arr)
+    vals, nulls = _valid_u64(arr)
     return pa.array(hierarchy.uncompact(vals[~nulls], target_resolution))
 
 
@@ -209,7 +259,7 @@ def _disk_lists(rows, values, n, value_type=None):
 def grid_disk(cellarray, k: int, flatten: bool = False) -> pa.Array:
     """k-disk members per cell: ``large_list<u64>`` positionally matched
     to the input, or one flat u64 array when ``flatten``."""
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     rows, disk, _ = traversal.grid_disk_distances(vals[~nulls], k)
     if flatten:
         return pa.array(disk)
@@ -244,7 +294,7 @@ def _disk_batch(vals, nulls, rows, disk, dist, flatten: bool) -> pa.Table:
 def grid_disk_distances(cellarray, k: int, flatten: bool = False) -> pa.Table:
     """(cell, k) columns — list-typed per input row, or flat rows when
     ``flatten`` (reference src/op/neighbor.rs:54-107)."""
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     rows, disk, dist = traversal.grid_disk_distances(vals[~nulls], k)
     return _disk_batch(vals, nulls, rows, disk, dist, flatten)
 
@@ -253,7 +303,7 @@ def grid_ring_distances(
     cellarray, k_min: int, k_max: int, flatten: bool = False
 ) -> pa.Table:
     """(cell, k) for disk members with k_min <= k <= k_max."""
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     rows, disk, dist = traversal.grid_ring_distances(vals[~nulls], k_min, k_max)
     return _disk_batch(vals, nulls, rows, disk, dist, flatten)
 
@@ -264,7 +314,7 @@ def grid_disk_aggregate_k(cellarray, k: int, aggregation_method: str) -> pa.Tabl
     (reference src/op/neighbor.rs:123-152)."""
     if aggregation_method not in ("min", "max"):
         raise ValueError("unknown way to aggregate k")
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     rows, disk, dist = traversal.grid_disk_distances(vals[~nulls], k)
     order = np.lexsort((dist, disk))
     d_sorted, k_sorted = disk[order], dist[order]
@@ -284,37 +334,39 @@ def grid_disk_aggregate_k(cellarray, k: int, aggregation_method: str) -> pa.Tabl
 
 
 def cells_area_m2(cellarray) -> pa.Array:
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     return _masked_array(boundary.cells_area_m2(vals), nulls)
 
 
 def cells_area_km2(cellarray) -> pa.Array:
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     return _masked_array(boundary.cells_area_km2(vals), nulls)
 
 
 def cells_area_rads2(cellarray) -> pa.Array:
-    vals, nulls = _to_u64(cellarray)
+    vals, nulls = _valid_u64(cellarray)
     return _masked_array(boundary.cells_area_rads2(vals), nulls)
 
 
-def _to_string(cellarray) -> pa.Array:
-    vals, nulls = _to_u64(cellarray)
+def _to_string(arr, checker, what) -> pa.Array:
+    vals, nulls = _valid_u64(arr, checker, what)
     return pa.array(bits.to_hex_strings(vals), mask=nulls) if nulls.any() else (
         pa.array(bits.to_hex_strings(vals))
     )
 
 
 def cells_to_string(cellarray) -> pa.Array:
-    return _to_string(cellarray)
+    return _to_string(cellarray, bits.is_valid_cell, "cell")
 
 
 def vertexes_to_string(vertexesarray) -> pa.Array:
-    return _to_string(vertexesarray)
+    return _to_string(vertexesarray, bits.is_valid_vertex, "vertex")
 
 
 def directededges_to_string(directededgearray) -> pa.Array:
-    return _to_string(directededgearray)
+    return _to_string(
+        directededgearray, bits.is_valid_directededge, "directed edge"
+    )
 
 
 def cells_to_localij(
@@ -334,9 +386,14 @@ def cells_to_localij(
             raise ValueError(
                 "anchor array length must match the cell array length"
             )
+    any_null = nulls | a_nulls
+    _require_valid(vals, nulls, bits.is_valid_cell, "cell")
+    _require_valid(anchors, a_nulls, bits.is_valid_cell, "anchor cell")
     i, j, ok = _localij.cells_to_localij(vals, anchors)
-    ok = ok & ~nulls & ~a_nulls
-    if not set_failing_to_invalid and not ok.all():
+    ok = ok & ~any_null
+    # reference parity: nulls pass through as null rows; only a REAL
+    # transform failure on a non-null pair raises (localij.rs:115-135)
+    if not set_failing_to_invalid and (~ok & ~any_null).any():
         raise ValueError("local-IJ transformation failed for some cells")
     bad = ~ok
     return pa.table(
@@ -366,9 +423,11 @@ def localij_to_cells(
         anchors, a_nulls = _to_u64(anchor)
         if len(anchors) != len(i_np):
             raise ValueError("anchor array length must match i/j length")
+    _require_valid(anchors, a_nulls, bits.is_valid_cell, "anchor cell")
+    any_null = i_nulls | j_nulls | a_nulls
     cells, ok = _localij.localij_to_cells(anchors, i_np, j_np)
-    ok = ok & ~i_nulls & ~j_nulls & ~a_nulls
-    if not set_failing_to_invalid and not ok.all():
+    ok = ok & ~any_null
+    if not set_failing_to_invalid and (~ok & ~any_null).any():
         raise ValueError("local-IJ inverse failed for some coordinates")
     return pa.array(cells, mask=~ok)
 
@@ -376,6 +435,7 @@ def localij_to_cells(
 __all__ = [
     "H3_CRS",
     "DEFAULT_CELL_COLUMN_NAME",
+    "version",
     "change_resolution",
     "change_resolution_list",
     "change_resolution_paired",

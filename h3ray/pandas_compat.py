@@ -127,7 +127,12 @@ def raster_to_dataframe(
 ) -> pd.DataFrame:
     """2D array -> DataFrame {value, cell}; geo=True adds WKB polygons
     (reference pandas/raster.py:16-65, same argument order and
-    compact=True default)."""
+    compact=True default).
+
+    NOTE (round 5): the signature was rebased onto the reference's —
+    ``axis_order`` now sits between ``nodata_value`` and ``compact`` and
+    the ``compact`` default flipped False -> True; pass both by keyword
+    if you relied on the earlier local order."""
     from . import raster as raster_mod
 
     t = raster_mod.raster_to_table(

@@ -16,9 +16,10 @@ GOLDEN = 0x851F9923FFFFFFF  # latlng(45.5, 10.2, res 5)
 
 
 def test_top_level_names_match_reference():
-    # the reference's __all__ (h3ronpy/python/h3ronpy/__init__.py:262-290)
+    # the reference's COMPLETE __all__, all 28 entries
+    # (h3ronpy/python/h3ronpy/__init__.py:289-318)
     ref_all = [
-        "H3_CRS", "DEFAULT_CELL_COLUMN_NAME", "ContainmentMode",
+        "H3_CRS", "DEFAULT_CELL_COLUMN_NAME", "ContainmentMode", "version",
         "change_resolution", "change_resolution_list",
         "change_resolution_paired", "cells_resolution", "cells_parse",
         "vertexes_parse", "directededges_parse", "compact", "uncompact",
@@ -28,10 +29,12 @@ def test_top_level_names_match_reference():
         "cells_area_rads2", "cells_to_string", "vertexes_to_string",
         "directededges_to_string", "cells_to_localij", "localij_to_cells",
     ]
+    assert len(ref_all) == 28
     missing = [n for n in ref_all if not hasattr(h, n)]
     assert not missing, missing
     assert h.H3_CRS == "EPSG:4326"
     assert h.DEFAULT_CELL_COLUMN_NAME == "cell"
+    assert isinstance(h.version(), str) and h.version() == h.__version__
 
 
 def test_cells_parse_three_forms_and_failure_modes():
@@ -196,3 +199,61 @@ def test_input_coercion_numpy_polars_list():
     s = pl.Series("c", [GOLDEN], dtype=pl.UInt64)
     assert h.cells_resolution(s).to_pylist() == [5]
     assert len(h.grid_disk(s, 1)[0]) == 7
+
+
+def test_invalid_nonnull_cells_raise_like_reference():
+    """The reference validates every non-null u64 on typed-array
+    construction (crates/h3arrow/src/array/mod.rs:193-210) — garbage
+    raises instead of propagating fabricated results."""
+    bad = pa.array([GOLDEN, 12345], type=pa.uint64())
+    for fn in (
+        lambda a: h.grid_disk(a, 1),
+        lambda a: h.grid_disk_distances(a, 1),
+        lambda a: h.grid_ring_distances(a, 1, 1),
+        lambda a: h.grid_disk_aggregate_k(a, 1, "min"),
+        h.cells_resolution,
+        h.cells_area_km2,
+        h.cells_to_string,
+        lambda a: h.uncompact(a, 7),
+        lambda a: h.change_resolution_paired(a, 6),
+        lambda a: h.compact(a, mixed_resolutions=True),
+    ):
+        with pytest.raises(ValueError, match="invalid"):
+            fn(bad)
+    # change_resolution / change_resolution_list stay permissive by the
+    # reference's own documented semantics (omitted resp. nulled)
+    assert len(h.change_resolution(bad, 5)) == 1
+    assert h.change_resolution_list(bad, 5).to_pylist()[1] is None
+    # nulls are never an error
+    assert h.cells_resolution(
+        pa.array([GOLDEN, None], type=pa.uint64())
+    ).to_pylist() == [5, None]
+
+
+def test_localij_and_parse_null_passthrough():
+    """Nulls flow through as null rows without raising (reference
+    localij.rs:115-135 / string.rs null semantics); only real failures
+    on non-null rows raise."""
+    cells = pa.array([GOLDEN, None], type=pa.uint64())
+    ij = h.cells_to_localij(cells, GOLDEN)  # must NOT raise
+    assert ij.column("i").to_pylist()[1] is None
+    assert ij.column("i").to_pylist()[0] is not None
+
+    own = h.cells_to_localij(pa.array([GOLDEN], type=pa.uint64()), GOLDEN)
+    i0, j0 = own.column("i")[0].as_py(), own.column("j")[0].as_py()
+    back = h.localij_to_cells(
+        GOLDEN,
+        pa.array([i0, None], type=pa.int32()),
+        pa.array([j0, j0], type=pa.int32()),
+    )  # must NOT raise
+    assert back.to_pylist()[1] is None and back.to_pylist()[0] == GOLDEN
+
+    from h3ray import vector
+
+    real_vx = int(
+        vector.cell_to_vertex(np.array([GOLDEN], dtype=np.uint64), 0)[0]
+    )
+    vx = h.vertexes_parse(pa.array([f"{real_vx:x}", None]))
+    assert vx.to_pylist() == [real_vx, None] and vx.null_count == 1
+    de = h.directededges_parse(pa.array([None], type=pa.string()))
+    assert de.to_pylist() == [None]

@@ -274,10 +274,11 @@ def test_arrays_localij_roundtrip_within_disk(c):
         anchor, i.take(pa.array(ok_rows)), j.take(pa.array(ok_rows)),
         set_failing_to_invalid=True,
     )
-    got = [x for x in back.to_pylist() if x is not None]
+    got = back.to_pylist()  # positionally aligned with ok_rows
     want = [neigh[k].as_py() for k in ok_rows]
     # every successfully round-tripped coordinate lands on its source cell
-    assert all(g == w for g, w in zip(got, want) if g is not None)
+    assert all(g == w for g, w in zip(got, want, strict=True)
+               if g is not None)
     # and the k=1 disk of a hexagon anchor round-trips completely
     if not bits.is_pentagon(np.array([anchor], dtype=np.uint64))[0]:
         assert len(ok_rows) == len(neigh) and got == want
