@@ -54,7 +54,11 @@ def _to_arrow(arr, dtype: pa.DataType | None = None) -> pa.Array:
         if isinstance(out, pa.ChunkedArray):
             out = out.combine_chunks()
     else:  # numpy / pandas Series / sequence
-        out = pa.array(arr, type=dtype)
+        try:
+            out = pa.array(arr, type=dtype)
+        except pa.ArrowNotImplementedError:
+            # e.g. numpy unicode arrays can't build large_string directly
+            out = pa.array(arr)
     if dtype is not None and out.type != dtype:
         out = out.cast(dtype)
     return out
@@ -350,9 +354,13 @@ def cells_area_rads2(cellarray) -> pa.Array:
 
 def _to_string(arr, checker, what) -> pa.Array:
     vals, nulls = _valid_u64(arr, checker, what)
-    return pa.array(bits.to_hex_strings(vals), mask=nulls) if nulls.any() else (
-        pa.array(bits.to_hex_strings(vals))
+    # reference emits large_utf8 (src/op/string.rs:91-95)
+    out = pa.array(
+        bits.to_hex_strings(vals),
+        type=pa.large_string(),
+        mask=nulls if nulls.any() else None,
     )
+    return out
 
 
 def cells_to_string(cellarray) -> pa.Array:

@@ -121,16 +121,29 @@ def compact(cells: np.ndarray, mixed_resolutions: bool = False) -> np.ndarray:
     res = bits.get_resolution(cells).astype(np.int64)
     if not mixed_resolutions and len(np.unique(res)) > 1:
         raise ValueError("input of compact has heterogen resolutions")
-    if len(np.unique(cells)) != len(cells):
-        if mixed_resolutions:
-            # reference parity: compact_mixed_resolutions dedups silently
-            # (h3o CellIndex::compact via CellSet::dedup); only the same-res
-            # path refuses duplicates
-            cells = np.unique(cells)
-        else:
-            # reference parity: compact refuses duplicated input
-            # (crates/h3arrow/src/algorithm/compact.rs:19-31)
-            raise ValueError("input of compact contains duplicate cells")
+    if mixed_resolutions:
+        # reference parity: compact_mixed_resolutions dedups silently
+        # (h3o CellIndex::compact via CellSet::dedup); only the same-res
+        # path refuses duplicates
+        cells = np.unique(cells)
+        res = bits.get_resolution(cells).astype(np.int64)
+        # h3o also drops any cell COVERED by a coarser cell in the set —
+        # [res8, res9-inside-it] compacts to [res8]
+        # (h3ronpy/tests/arrow/test_compact.py::test_compact_mixed)
+        keep = np.ones(len(cells), dtype=bool)
+        for rc in np.unique(res)[:-1]:
+            coarser = cells[(res == rc) & keep]
+            finer = res > rc
+            if len(coarser) and finer.any():
+                anc = bits.cell_to_parent(cells[finer], np.uint64(rc))
+                covered = np.isin(anc, coarser)
+                keep[np.nonzero(finer)[0][covered]] = False
+        cells = cells[keep]
+        res = res[keep]
+    elif len(np.unique(cells)) != len(cells):
+        # reference parity: compact refuses duplicated input
+        # (crates/h3arrow/src/algorithm/compact.rs:19-31)
+        raise ValueError("input of compact contains duplicate cells")
     out_parts = []
     cur = cells
     for r in range(int(res.max()), 0, -1):

@@ -107,7 +107,11 @@ def test_compact_uncompact_roundtrip_and_heterogen():
     mixed = pa.array([GOLDEN, int(parent[0])], type=pa.uint64())
     with pytest.raises(ValueError, match="heterogen"):
         h.compact(mixed)
-    assert len(h.compact(mixed, mixed_resolutions=True)) == 2
+    # GOLDEN is covered by its own res-4 parent -> only the parent survives
+    # (h3o compact_mixed containment pruning)
+    assert h.compact(mixed, mixed_resolutions=True).to_pylist() == [
+        int(parent[0])
+    ]
 
 
 def test_grid_disk_family_shapes_and_names():

@@ -81,10 +81,20 @@ def test_compact_roundtrip():
         hierarchy.compact(
             np.concatenate([cell, bits.cell_to_parent(cell, np.uint64(4))])
         )
-    # mixed-resolution mode
+    # mixed-resolution mode: the res-9 cell lies INSIDE the res-8 cell, so
+    # h3o's compact_mixed drops it as covered (reference
+    # tests/arrow/test_compact.py::test_compact_mixed expects exactly [cell])
     mixed = np.concatenate([cell, faceijk.latlng_to_cell(np.array([10.3]), np.array([45.1]), 9)])
     out = hierarchy.compact(mixed, mixed_resolutions=True)
-    assert len(out) == 2  # the res-9 cell is not a complete child set
+    assert out.tolist() == cell.tolist()
+    # a finer cell NOT covered by anything coarser in the set survives
+    elsewhere9 = faceijk.latlng_to_cell(np.array([-33.0]), np.array([151.0]), 9)
+    out2 = hierarchy.compact(
+        np.concatenate([cell, elsewhere9]), mixed_resolutions=True
+    )
+    assert sorted(out2.tolist()) == sorted(
+        np.concatenate([cell, elsewhere9]).tolist()
+    )
 
 
 def test_compact_pentagon():
