@@ -228,3 +228,105 @@ def test_cells_area_km2_ref():
     assert int(areas[0].as_py() * 100) == 62
     assert int(areas[1].as_py()) == 213
     assert int(areas[2].as_py()) == 10456
+
+
+# --- test_vector.py ------------------------------------------------------------
+
+
+class _GeoShim:
+    """Minimal __geo_interface__ carrier (shapely is absent here)."""
+
+    def __init__(self, gi):
+        self.__geo_interface__ = gi
+
+
+def test_geometry_to_cells_ref():
+    from h3ray import vector
+
+    geom = _GeoShim({
+        "type": "Polygon",
+        "coordinates": [
+            [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+        ],
+    })
+    cells = vector.geometry_to_cells(
+        geom, 5, containment_mode=h.ContainmentMode.IntersectsBoundary
+    )
+    assert cells.dtype == np.uint64
+    assert len(cells) > 10
+
+
+def test_geometry_to_cells_central_park_ref():
+    from h3ray import vector
+
+    point = _GeoShim({"type": "Point", "coordinates": (-73.9575, 40.7938)})
+    arr = vector.geometry_to_cells(point, 8)
+    assert len(arr) == 1
+    assert arr[0] == _cell(40.7938, -73.9575, 8)
+
+
+def test_coordinate_values_are_not_equal_issue_58_ref():
+    from h3ray import vector
+    from h3ray.h3core import wkb
+
+    lat, lon = 37.7749, -122.4194
+    point = _GeoShim({"type": "Point", "coordinates": (lon, lat)})
+    cells = vector.geometry_to_cells(point, 9)
+    wkb_points = vector.cells_to_wkb_points(cells)
+    assert len(wkb_points) == 1
+    g = wkb.loads(wkb_points[0].as_py())
+    assert g["type"] == "Point"
+    x, y = g["coords"][0]
+    assert int(lat) == int(y) and int(lon) == int(x)
+
+
+# --- test_transform.py ----------------------------------------------------------
+
+
+def test_transform_cmp_ref():
+    from h3ray.raster import Transform
+
+    assert Transform(1, 1, 0, 1, 0, 1) == Transform(1, 1, 0, 1, 0, 1)
+    assert Transform(1, 1, 0, 0, 0, 1) != Transform(1, 1, 0, 1, 0, 1)
+
+
+# --- pandas/test_vector.py -------------------------------------------------------
+
+
+def test_cells_dataframe_to_geodataframe_ref():
+    import pandas as pd
+
+    from h3ray.pandas_compat import cells_dataframe_to_geodataframe
+    from h3ray.h3core import wkb
+
+    df = pd.DataFrame({"cell": [0x8009FFFFFFFFFFF], "id": [5]})
+    gdf = cells_dataframe_to_geodataframe(df)
+    assert len(gdf) == len(df)
+    assert (gdf["cell"] == df["cell"]).all()
+    assert (gdf["id"] == df["id"]).all()
+    assert wkb.loads(gdf["geometry"][0])["type"] in ("Polygon", "MultiPolygon")
+
+
+def test_cells_dataframe_to_geodataframe_empty_ref():
+    # https://github.com/nmandery/h3ron/issues/17 — must not raise
+    import pandas as pd
+
+    from h3ray.pandas_compat import cells_dataframe_to_geodataframe
+
+    gdf = cells_dataframe_to_geodataframe(pd.DataFrame({"cell": []}))
+    assert gdf.empty
+
+
+def test_geometry_results_in_no_cells_ref():
+    """A polygon smaller than any res-4 cell with centroid containment
+    yields zero cells without raising."""
+    from h3ray import vector
+
+    tiny = _GeoShim({
+        "type": "Polygon",
+        "coordinates": [[
+            (1.100000, 4.50000), (1.100001, 4.50000), (1.100001, 4.50001),
+            (1.100000, 4.50001), (1.100000, 4.50000),
+        ]],
+    })
+    assert len(vector.geometry_to_cells(tiny, 4)) == 0
