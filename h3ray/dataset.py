@@ -81,6 +81,11 @@ class H3Dataset:
     def grid_disk(self, k, cell_col="cell"):
         return self._wrap(kernels.grid_disk, k=k, cell_col=cell_col)
 
+    def grid_ring(self, k_min, k_max, cell_col="cell"):
+        return self._wrap(
+            kernels.grid_ring, k_min=k_min, k_max=k_max, cell_col=cell_col
+        )
+
     def uncompact(self, res, cell_col="cell"):
         return self._wrap(kernels.uncompact_kernel, res=res, cell_col=cell_col)
 

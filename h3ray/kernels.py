@@ -317,6 +317,20 @@ def grid_disk(
     return out.append_column("k", pa.array(dist.astype(np.uint32)))
 
 
+def grid_ring(
+    batch: pa.Table, k_min: int, k_max: int,
+    cell_col: str = DEFAULT_CELL_COLUMN_NAME,
+) -> pa.Table:
+    """Ring membership rows, k_min <= k <= k_max: each input row repeated
+    per ring member with ``ring_cell`` (+``k``) columns (flattened form of
+    h3ronpy grid_ring_distances, src/op/neighbor.rs:110-120)."""
+    cells = _u64(batch, cell_col)
+    rows, ring, dist = traversal.grid_ring_distances(cells, k_min, k_max)
+    out = batch.take(pa.array(rows))
+    out = out.append_column("ring_cell", pa.array(ring))
+    return out.append_column("k", pa.array(dist.astype(np.uint32)))
+
+
 def compact_kernel(batch: pa.Table, cell_col: str = DEFAULT_CELL_COLUMN_NAME,
                    mixed_resolutions: bool = True) -> pa.Table:
     """Batch-local compact over the cell column only (other columns dropped;

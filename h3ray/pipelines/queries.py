@@ -3812,6 +3812,53 @@ ORACLE_SQL.update(
 # asof twin, scalar kernels) move past the window — their green rows stand
 # in CORRECTNESS_r01..r04.
 
+
+def q_ring_size(sf_dir: str):
+    """Value-oracled distributed grid_ring (kernels.grid_ring flattened
+    rows): rings 1..2 of every event cell have exactly 6+12 members at
+    res 7 (no pentagon touches the synthesized event cells), and the
+    origin is never its own ring member (k >= 1)."""
+    from .. import kernels as kernels_mod
+
+    def k(batch: pa.Table) -> pa.Table:
+        batch = _with_cells(batch)
+        withpos = batch.select(["event_id", "cell"]).append_column(
+            "row", pa.array(np.arange(len(batch), dtype=np.int64))
+        )
+        rings = kernels_mod.grid_ring(withpos, 1, 2)
+        rows = rings.column("row").to_numpy(zero_copy_only=False)
+        cells = rings.column("cell").to_numpy(zero_copy_only=False)
+        members = rings.column("ring_cell").to_numpy(zero_copy_only=False)
+        # a ring explode never leaves its batch: count in-block, no exchange
+        n = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        hits = np.bincount(
+            rows, weights=(cells == members), minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "ring_n": pa.array(n),
+                "self_hits": pa.array(hits),
+            }
+        )
+
+    return _events(sf_dir).map_batches(
+        k, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+QUERIES.update({"ring_size": q_ring_size})
+ORACLE_SQL.update(
+    {
+        "ring_size": """
+            SELECT event_id, CAST(18 AS BIGINT) AS ring_n,
+                   CAST(0 AS BIGINT) AS self_hits
+            FROM events
+        """,
+    }
+)
+
+
 _WINDOW_PRIORITY = [
     # (a) driver-unverified round-4 operators
     "dissolve", "window_agg", "asof_join", "asof_chunked", "are_neighbor",

@@ -1537,3 +1537,26 @@ def test_image_resizer_block_mean(ray_session):
         mm.ImageResizer(decode_size=32, out_size=7)
     with _pytest.raises(NotImplementedError):
         mm.ImageResizer(mode="strict")(t)
+
+
+def test_h3dataset_grid_ring(ray_session):
+    """kernels.grid_ring / H3Dataset.grid_ring: ring 1..2 of a hexagon
+    origin is 18 rows, disjoint from the origin, equal to the k-2 disk
+    minus the k<=0 core; k column is uint32 in [1, 2]."""
+    import ray
+
+    from h3ray.dataset import H3Dataset
+    from h3ray.h3core import faceijk, traversal
+
+    cell = int(faceijk.latlng_to_cell(np.array([45.5]), np.array([10.2]), 7)[0])
+    t = pa.table({"cell": pa.array([cell], type=pa.uint64())})
+    out = (
+        H3Dataset(ray.data.from_arrow(t)).grid_ring(1, 2).dataset.to_pandas()
+    )
+    assert len(out) == 18
+    assert set(out["k"]) == {1, 2}
+    assert cell not in set(out["ring_cell"])
+    rows, disk, dist = traversal.grid_disk_distances(
+        np.array([cell], dtype=np.uint64), 2
+    )
+    assert set(out["ring_cell"]) == set(disk[dist >= 1].tolist())
