@@ -184,6 +184,32 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     return set_or_append(batch, "n_redactions", pc.fill_null(total, 0))
 
 
+# RE2-compatible (pyarrow.compute AND DuckDB both compile RE2, so a SQL
+# oracle can apply the byte-identical pattern)
+URL_PATTERN = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+# named group: pyarrow extract_regex requires named groups; DuckDB
+# addresses the same group positionally as group 1
+URL_HOST_PATTERN = r"https?://(?P<host>[A-Za-z0-9.-]+)"
+
+
+def extract_url_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc URL stats — the link-density / source-attribution pass of
+    a web-corpus pipeline: int64 ``n_urls`` and utf8 ``first_host``
+    (registrable host of the FIRST url, '' when none), fully vectorized
+    via Arrow's RE2 kernels.  Feed ``first_host``/exploded hosts into the
+    generic per-key machinery (top_n_per_group, bloom joins, exact
+    dedup) for per-domain caps and stats."""
+    text = batch.column(text_col)
+    n = pc.fill_null(pc.count_substring_regex(text, URL_PATTERN), 0).cast(
+        pa.int64()
+    )
+    # extract_regex returns a struct with one field per capture group
+    first = pc.extract_regex(text, URL_HOST_PATTERN)
+    host = pc.fill_null(pc.struct_field(first, "host"), "")
+    batch = batch.append_column("n_urls", n)
+    return batch.append_column("first_host", host.cast(pa.string()))
+
+
 def hash_u64_str(s: str) -> np.uint64:
     """FNV-1a 64-bit of one string (deterministic across runs, unlike
     Python's hash).  Scalar convenience; batches use ``hash_u64_batch``."""

@@ -3847,6 +3847,80 @@ def q_ring_size(sf_dir: str):
     )
 
 
+def q_url_extract(sf_dir: str):
+    """Value-oracled URL extraction (functions/text.extract_url_stats):
+    deterministic links are planted (every 5th doc gets one, every 15th
+    a second on another host) and the per-doc count + first host must
+    match DuckDB applying the byte-identical RE2 patterns."""
+    from ..functions import text as text_fns
+
+    def k(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        host = pc.binary_join_element_wise(
+            "site", pa.array((did % 7).astype(str)), ".example.org", ""
+        )
+        add1 = pc.binary_join_element_wise(
+            " see https://", host, "/p/", pa.array(did.astype(str)), ""
+        )
+        text = batch.column("text")
+        text = pc.if_else(
+            pa.array(did % 5 == 0),
+            pc.binary_join_element_wise(text, add1, ""),
+            text,
+        )
+        text = pc.if_else(
+            pa.array(did % 15 == 0),
+            pc.binary_join_element_wise(
+                text, " and http://mirror.example.net/x", ""
+            ),
+            text,
+        )
+        out = text_fns.extract_url_stats(
+            pa.table({"doc_id": batch.column("doc_id"), "text": text})
+        )
+        return out.select(["doc_id", "n_urls", "first_host"])
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(k, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _url_oracle_sql() -> str:
+    """SQL twin built FROM the module's own patterns (byte-identical RE2
+    on both sides; the engine's corpus text plants no urls of its own —
+    asserted by the n_urls=0 branch for unplanted docs)."""
+    from ..functions.text import URL_HOST_PATTERN, URL_PATTERN
+
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 5 = 0
+                        THEN ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                             || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 15 = 0
+                        THEN ' and http://mirror.example.net/x'
+                        ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(coalesce(len(regexp_extract_all(text, '{URL_PATTERN}')),
+                    0) AS BIGINT) AS n_urls,
+               coalesce(regexp_extract(text, '{URL_HOST_PATTERN}', 1), '')
+                   AS first_host
+        FROM planted
+    """
+
+
+QUERIES.update({"url_extract": q_url_extract})
+ORACLE_SQL.update({"url_extract": _url_oracle_sql()})
+
+
 QUERIES.update({"ring_size": q_ring_size})
 ORACLE_SQL.update(
     {

@@ -1560,3 +1560,27 @@ def test_h3dataset_grid_ring(ray_session):
         np.array([cell], dtype=np.uint64), 2
     )
     assert set(out["ring_cell"]) == set(disk[dist >= 1].tolist())
+
+
+def test_extract_url_stats_kernel():
+    """URL extraction: count + first-host via Arrow RE2; no-url docs get
+    ('', 0); null text rows count 0."""
+    from h3ray.functions.text import extract_url_stats
+
+    t = pa.table(
+        {
+            "text": pa.array(
+                [
+                    "see https://a.example.org/x and http://b.net/y",
+                    "no links here",
+                    None,
+                    "http://only.one",
+                ]
+            )
+        }
+    )
+    out = extract_url_stats(t)
+    assert out.column("n_urls").to_pylist() == [2, 0, 0, 1]
+    assert out.column("first_host").to_pylist() == [
+        "a.example.org", "", "", "only.one"
+    ]
