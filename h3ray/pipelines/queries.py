@@ -3946,13 +3946,13 @@ _WINDOW_PRIORITY = [
     "exact_dedup", "minhash_pairs", "simhash_bands", "minhash_dup_rank",
     "dedup_clusters",
     # (c) operators NEW in round 5 (driver-green nowhere yet)
-    "polyfill_split", "pii_redact",
-    # (d) family keepers
+    "polyfill_split", "pii_redact", "ring_size", "url_extract",
+    # (d) family keepers (raster_pixel_agg / rasterize_roundtrip rotated
+    # out: both r4 hash_match, value-anchored by goldens + pytest)
     "flagship_resumable", "pip_join", "pip_join_fine", "jaccard_verify",
     "embedding_dup_pairs", "ann_ivf", "ivf_recall", "compact_invariant",
     "polyfill_rects", "hull_centroid", "localij", "grid_distance_path",
-    "raster_pixel_agg", "rasterize_roundtrip", "latlng_cells",
-    "corpus_geo_cells",
+    "latlng_cells", "corpus_geo_cells",
 ]
 
 assert len(_WINDOW_PRIORITY) == 50, len(_WINDOW_PRIORITY)
