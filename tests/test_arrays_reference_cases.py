@@ -330,3 +330,66 @@ def test_geometry_results_in_no_cells_ref():
         ]],
     })
     assert len(vector.geometry_to_cells(tiny, 4)) == 0
+
+
+# --- polars/test_expr.py + test_series.py ---------------------------------------
+
+
+def _some_cell_series():
+    import polars as pl
+
+    return pl.Series(
+        np.array([_cell(10.3, 45.1, 8)], dtype=np.uint64)
+    )
+
+
+def test_series_cells_resolution_ref():
+    import h3ray.polars as _  # noqa: F401 — registers the namespaces
+    import polars as pl
+
+    resolution = _some_cell_series().h3.cells_resolution()
+    assert resolution.dtype == pl.UInt8
+    assert resolution[0] == 8
+
+
+def test_expr_cells_resolution_ref():
+    import h3ray.polars as _  # noqa: F401
+    import polars as pl
+
+    df = (
+        pl.DataFrame({"cells": _some_cell_series()})
+        .lazy()
+        .with_columns(
+            [pl.col("cells").h3.cells_resolution().alias("resolution")]
+        )
+        .collect()
+    )
+    assert df["resolution"].dtype == pl.UInt8
+    assert df["resolution"][0] == 8
+
+
+def test_expr_grid_disk_ref():
+    import h3ray.polars as _  # noqa: F401
+    import polars as pl
+
+    df = (
+        pl.DataFrame({"cells": _some_cell_series()})
+        .lazy()
+        .with_columns([pl.col("cells").h3.grid_disk(1).alias("disk")])
+        .collect()
+    )
+    assert df["disk"].dtype == pl.List
+    assert df["disk"].dtype.inner == pl.UInt64
+    assert len(df["disk"][0]) == 7
+
+
+def test_series_change_resolution_golden_ref():
+    """The reference's own u64 golden: the res-5 ancestor of the cell at
+    (10.3, 45.1, res 8) is exactly 600436446234411007
+    (h3ronpy/tests/polars/test_expr.py:60-65 — binding-independent
+    constant, pins h3ray's encoder + parent walk bit-exactly)."""
+    import h3ray.polars as _  # noqa: F401
+
+    s = _some_cell_series()
+    assert s.h3.cells_resolution()[0] == 8
+    assert s.h3.change_resolution(5)[0] == 600436446234411007
