@@ -282,3 +282,34 @@ def test_arrays_localij_roundtrip_within_disk(c):
     # and the k=1 disk of a hexagon anchor round-trips completely
     if not bits.is_pentagon(np.array([anchor], dtype=np.uint64))[0]:
         assert len(ok_rows) == len(neigh) and got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(coords, min_size=1, max_size=8),
+       st.integers(min_value=0, max_value=4))
+def test_compact_mixed_area_preservation(cs, res_spread):
+    """compact(mixed_resolutions=True) must preserve COVERAGE exactly:
+    uncompacting the output to the finest input resolution yields the
+    same cell SET as uncompacting the input (covered duplicates
+    collapse), and no output cell is an ancestor of another output
+    cell."""
+    lat = np.array([c[0] for c in cs])
+    lng = np.array([c[1] for c in cs])
+    # mixed resolutions in a narrow band so uncompact stays small
+    res = np.array([min(15, c[2] % 3 + res_spread) for c in cs])
+    cells = faceijk.latlng_to_cell(lat, lng, res)
+    out = hierarchy.compact(cells, mixed_resolutions=True)
+    rmax = int(bits.get_resolution(cells).max())
+    want = set(hierarchy.uncompact(np.unique(cells), rmax).tolist())
+    got = set(hierarchy.uncompact(out, rmax).tolist())
+    assert got == want
+    # pairwise ancestor-freedom: each output cell's ancestor at every
+    # coarser output resolution must not itself be an output cell
+    out_set = set(out.tolist())
+    out_res = bits.get_resolution(out).astype(np.int64)
+    for rc in np.unique(out_res)[:-1]:
+        finer = out[out_res > rc]
+        if len(finer):
+            anc = bits.cell_to_parent(finer, np.uint64(int(rc)))
+            coarse_set = set(out[out_res == rc].tolist())
+            assert not (set(anc.tolist()) & coarse_set)
