@@ -354,13 +354,14 @@ def cells_area_rads2(cellarray) -> pa.Array:
 
 def _to_string(arr, checker, what) -> pa.Array:
     vals, nulls = _valid_u64(arr, checker, what)
-    # reference emits large_utf8 (src/op/string.rs:91-95)
-    out = pa.array(
-        bits.to_hex_strings(vals),
-        type=pa.large_string(),
-        mask=nulls if nulls.any() else None,
-    )
-    return out
+    # reference emits large_utf8 (src/op/string.rs:91-95).  Convert only
+    # the non-null values: a 0 from a null slot would knock the whole
+    # batch off to_hex_strings' vectorized fast path
+    if nulls.any():
+        strs = np.empty(len(vals), dtype=object)
+        strs[~nulls] = bits.to_hex_strings(vals[~nulls])
+        return pa.array(strs, type=pa.large_string())
+    return pa.array(bits.to_hex_strings(vals), type=pa.large_string())
 
 
 def cells_to_string(cellarray) -> pa.Array:

@@ -372,14 +372,25 @@ def to_hex_strings(h: np.ndarray) -> np.ndarray:
     one vectorized pass; other values fall back to per-row formatting."""
     h = _u64(h)
     n = h.shape[0]
-    if n and ((h >> _U(60)) == 0).all() and (h >> _U(56) != 0).all():
-        chars = np.empty((n, 15), dtype=np.uint8)
-        for k in range(15):
+    # every valid index (any mode) has its mode bits >= bit 59 set, so
+    # h >> 56 != 0 guarantees 15 or 16 hex digits: cells (mode 1) have a
+    # zero top nibble -> 15 digits, vertexes/edges (modes 4/2) -> 16.
+    # Emit 16 fixed digits vectorized, strip the leading zero where needed.
+    if n and (h >> _U(56) != 0).all():
+        chars = np.empty((n, 16), dtype=np.uint8)
+        for k in range(16):
             chars[:, k] = _HEX_DIGITS[
-                ((h >> _U(4 * (14 - k))) & _U(0xF)).astype(np.uint8)
+                ((h >> _U(4 * (15 - k))) & _U(0xF)).astype(np.uint8)
             ]
+        lead0 = (h >> _U(60)) == 0
         flat = chars.tobytes().decode("ascii")
-        return np.array([flat[i * 15 : (i + 1) * 15] for i in range(n)], dtype=object)
+        return np.array(
+            [
+                flat[i * 16 + (1 if lead0[i] else 0) : (i + 1) * 16]
+                for i in range(n)
+            ],
+            dtype=object,
+        )
     return np.array([format(int(x), "x") for x in h], dtype=object)
 
 

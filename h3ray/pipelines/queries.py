@@ -3815,9 +3815,10 @@ ORACLE_SQL.update(
 
 def q_ring_size(sf_dir: str):
     """Value-oracled distributed grid_ring (kernels.grid_ring flattened
-    rows): rings 1..2 of every event cell have exactly 6+12 members at
-    res 7 (no pentagon touches the synthesized event cells), and the
-    origin is never its own ring member (k >= 1)."""
+    rows): rings 1..2 of every event cell have exactly 6+12 members (the
+    synthesized res-5 event cells — _construct_cells — never sit within
+    k=2 of a pentagon), and the origin is never its own ring member
+    (k >= 1)."""
     from .. import kernels as kernels_mod
 
     def k(batch: pa.Table) -> pa.Table:
@@ -3867,15 +3868,23 @@ def q_url_extract(sf_dir: str):
             " see https://", host, "/p/", pa.array(did.astype(str)), ""
         )
         text = batch.column("text")
+        # binary_join_element_wise needs ALL operands (incl. the separator
+        # literal) on one string type — corpora read via the JSONL/CSV
+        # sources may carry large_string
+        ttype = pa.large_string() if pa.types.is_large_string(text.type) \
+            else pa.string()
+        empty = pa.scalar("", type=ttype)
         text = pc.if_else(
             pa.array(did % 5 == 0),
-            pc.binary_join_element_wise(text, add1, ""),
+            pc.binary_join_element_wise(text, add1.cast(ttype), empty),
             text,
         )
         text = pc.if_else(
             pa.array(did % 15 == 0),
             pc.binary_join_element_wise(
-                text, " and http://mirror.example.net/x", ""
+                text,
+                pa.scalar(" and http://mirror.example.net/x", type=ttype),
+                empty,
             ),
             text,
         )

@@ -446,20 +446,30 @@ def directededges_to_string(edges) -> np.ndarray:
     return bits.to_hex_strings(np.asarray(edges, dtype=np.uint64))
 
 
-def vertexes_parse(strings, set_failing_to_invalid: bool = False):
-    vals, ok = bits.parse_hex_strings(list(strings))
-    ok &= bits.is_valid_vertex(vals)
-    if not set_failing_to_invalid and not ok.all():
-        raise ValueError("non-parsable VertexIndex")
+def _parse_indexes(strings, checker, what: str, set_failing_to_invalid: bool):
+    """Shared hex/decimal index parse with reference null semantics: a
+    None row is null output, never a failure; only a real parse/validity
+    failure on a NON-NULL row raises (crates/h3arrow string.rs:171,182)."""
+    lst = list(strings)
+    vals, ok = bits.parse_hex_strings(lst)
+    ok &= checker(vals)
+    nulls = np.array([s is None for s in lst], dtype=bool)
+    if not set_failing_to_invalid and (~ok & ~nulls).any():
+        raise ValueError(f"non-parsable {what}")
     return vals, ok
+
+
+def vertexes_parse(strings, set_failing_to_invalid: bool = False):
+    return _parse_indexes(
+        strings, bits.is_valid_vertex, "VertexIndex", set_failing_to_invalid
+    )
 
 
 def directededges_parse(strings, set_failing_to_invalid: bool = False):
-    vals, ok = bits.parse_hex_strings(list(strings))
-    ok &= bits.is_valid_directededge(vals)
-    if not set_failing_to_invalid and not ok.all():
-        raise ValueError("non-parsable DirectedEdgeIndex")
-    return vals, ok
+    return _parse_indexes(
+        strings, bits.is_valid_directededge, "DirectedEdgeIndex",
+        set_failing_to_invalid,
+    )
 
 
 def polyfill_weight_kernel(
