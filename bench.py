@@ -634,7 +634,10 @@ def run_scaling(n_points: int = 24_000_000):
     # turbo-boosts low-occupancy runs, so best-of-N inflates the low-cpu
     # baseline and understates efficiency
     for _ in range(reps):
-        probes.append(round(_single_core_probe() / 1000.0, 1))
+        # bracket each rep with a pre- AND post-probe: a pre-only point
+        # sample mislabels reps in a drifting window (observed: a clean
+        # 77.7k pre-probe preceding legs that ran into a turbo minute)
+        probes.append([round(_single_core_probe() / 1000.0, 1)])
         for cpus in pair:
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
@@ -647,6 +650,7 @@ def run_scaling(n_points: int = 24_000_000):
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
             samples[cpus].append(json.loads(line)["rows_per_sec"])
+        probes[-1].append(round(_single_core_probe() / 1000.0, 1))
     lo, hi = pair
     med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     # pair the back-to-back runs of each repetition: host capacity drifts
@@ -665,7 +669,7 @@ def run_scaling(n_points: int = 24_000_000):
         f"throughput_{lo}cpu": round(tp_lo),
         f"throughput_{hi}cpu": round(tp_hi),
         "per_rep_efficiency": [round(e, 3) for e in effs],
-        "per_rep_probe_krows_per_core": probes,
+        "per_rep_probe_krows_per_core_pre_post": probes,
         "n_points": n_points,
     }
     print(json.dumps(out))
