@@ -336,6 +336,10 @@ def run_bench():
         "rows": rows,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        # measurement-window self-diagnosis (BASELINE.md §host-drift):
+        # ~76-80k rows/s/core = clean band; <70k = externally loaded —
+        # absolute wall times scale with this, the plan does not change
+        "probe_krows_per_core": round(_single_core_probe() / 1000.0, 1),
     }
     print(json.dumps(out))
     ray.shutdown()
