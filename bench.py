@@ -1331,7 +1331,7 @@ def run_polyfill_skew():
 
 
 def run_new_ops():
-    """Labeled (non-headline) timings for the round-4 operators at
+    """Labeled (non-headline) timings for the round-4/5 operators at
     $GRAFT_SF_DIR: each query runs through the shipped queries() plan
     and is consumed to completion (count() for Datasets; pa.Table
     results already executed).  The shuffle machinery is warmed once
@@ -1349,6 +1349,8 @@ def run_new_ops():
             "ann_quantized", "quantile_sketch",
             "line_dedup", "sessionize", "session_stats", "vocab_stats",
             "term_search", "decontaminate", "group_distinct",
+            # round-5 operators
+            "pii_redact", "url_extract", "ring_size", "polyfill_split",
         ]
 
         def consume(res):
@@ -1367,7 +1369,7 @@ def run_new_ops():
         print(
             json.dumps(
                 {
-                    "metric": "round-4 operator wall time",
+                    "metric": "non-headline operator wall time",
                     "value": total,
                     "unit": "sec",
                     "queries": out,
